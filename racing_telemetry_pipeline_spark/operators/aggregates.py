@@ -1,0 +1,87 @@
+"""Per-sink aggregate tables (SURVEY.md §2.5 A4-A7 analogs).
+
+- turns-per-conversation  <- per-signal baseline stats
+  (/root/reference/tools/compute_baseline.py:31-76)
+- tool-call frequency     <- per-lap feature rollups
+  (/root/reference/src/schemas/features.py:8-78)
+- per-role latency percentiles <- lap-time stats / robust estimators
+  (/root/reference/src/transform/drift.py:197-264)
+
+Percentiles are EXACT (``percentile``) so the oracle equality is bitwise at
+test scale; at 10^12 rows swap to ``percentile_approx`` via the
+``approx=True`` flag (documented tolerance, SURVEY.md §7.4 risk 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sink_row_counts(routed: DataFrame) -> DataFrame:
+    return routed.groupBy("route").agg(F.count("*").alias("n_rows")).orderBy("route")
+
+
+def turns_per_conversation(routed: DataFrame) -> DataFrame:
+    """Rows per (sink, conversation) — exact counts, two-level agg."""
+    return (
+        routed.groupBy("route", "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .orderBy("route", "conv_id")
+    )
+
+
+def tool_call_frequency(routed: DataFrame, approx: bool = False) -> DataFrame:
+    pct = (
+        F.percentile_approx("latency_ms", 0.95)
+        if approx
+        else F.expr("percentile(latency_ms, 0.95)")
+    )
+    return (
+        routed.filter(F.col("route") == "tool_events")
+        .groupBy("tool_name")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.round(F.avg("latency_ms"), 4).alias("avg_latency_ms"),
+            F.round(pct, 4).alias("p95_latency_ms"),
+            F.sum("args_bytes").alias("total_args_bytes"),
+        )
+        .orderBy("tool_name")
+    )
+
+
+def role_latency_percentiles(routed: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-role inter-turn latency percentiles over non-quarantined rows.
+
+    latency = ts_sync - previous non-quarantined turn's ts_sync within the
+    conversation (window over conv_id ordered by turn_idx).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flow = (
+        routed.filter(F.col("route") != "quarantine")
+        .withColumn(
+            "turn_latency_sec",
+            (
+                F.unix_micros(F.col("ts_sync"))
+                - F.lag(F.unix_micros(F.col("ts_sync"))).over(w)
+            )
+            / F.lit(1_000_000.0),
+        )
+        .filter(F.col("turn_latency_sec").isNotNull())
+    )
+
+    def pct(p: float):
+        if approx:
+            return F.percentile_approx("turn_latency_sec", p)
+        return F.expr(f"percentile(turn_latency_sec, {p})")
+
+    return (
+        flow.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.round(pct(0.5), 6).alias("p50_latency_sec"),
+            F.round(pct(0.95), 6).alias("p95_latency_sec"),
+            F.round(pct(0.99), 6).alias("p99_latency_sec"),
+        )
+        .orderBy("role")
+    )

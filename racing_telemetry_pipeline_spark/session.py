@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the local[N] sandbox while keeping the
+settings that matter on a real multi-executor cluster (AQE, skew join,
+Arrow batching, UTC timestamps).
+
+Reference analog: backend selection / settings module
+(/root/reference/src/conf/settings.py:1-80) — here the "backend" is always
+Spark; tuning knobs live in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "racing_telemetry_pipeline_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster the master/cores come from spark-submit and these local[] bits
+    are ignored by Spark (master already set).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        # ~cores in local mode; a real cluster would size this to
+        # total-cores * 2-3 (or rely on AQE coalescing from a higher value).
+        shuffle_partitions = max(int(cores), 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # read parquet isAdjustedToUTC=false timestamps as TimestampType
+        # (session tz = UTC), not TIMESTAMP_NTZ — keeps casts/arithmetic
+        # uniform and matches DuckDB's naive-timestamp oracle semantics
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

