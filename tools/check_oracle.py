@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
+same sf dir, compares row count, sorted column names, and values
+(order-insensitive, stringified). Usage:
+
+    python tools/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime"):
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object or str(s.dtype).startswith(("float", "Float")):
+            df[c] = s.map(lambda v: "NULL" if pd.isna(v) else (f"{v:.10g}" if isinstance(v, float) else str(v)))
+        else:
+            df[c] = s.map(lambda v: "NULL" if pd.isna(v) else str(v))
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    import __spark_entry__ as entry
+    from racing_telemetry_pipeline_spark.session import get_spark
+
+    spark = get_spark("check_oracle", cores=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    fails, passes, skipped = [], [], []
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        if name not in oracles:
+            skipped.append(name)
+            continue
+        try:
+            got = canon(fn(spark, sf_dir).toPandas())
+            want = canon(con.execute(oracles[name]).df())
+        except Exception as e:
+            fails.append((name, f"EXEC ERROR: {type(e).__name__}: {e}"))
+            continue
+        if list(got.columns) != list(want.columns):
+            fails.append((name, f"columns {list(got.columns)} != {list(want.columns)}"))
+            continue
+        if len(got) != len(want):
+            fails.append((name, f"rows {len(got)} != {len(want)}"))
+            continue
+        if not got.equals(want):
+            diff_cols = [c for c in got.columns if not got[c].equals(want[c])]
+            n_bad = max((got[c] != want[c]).sum() for c in diff_cols)
+            example = ""
+            for c in diff_cols[:1]:
+                m = got[c] != want[c]
+                i = m.idxmax()
+                example = f" e.g. {c}[{i}]: spark={got[c][i]!r} duck={want[c][i]!r}"
+            fails.append((name, f"values differ in {diff_cols} ({n_bad} rows){example}"))
+            continue
+        passes.append(name)
+
+    print(f"\nPASS ({len(passes)}): {' '.join(passes)}")
+    if skipped:
+        print(f"NO-ORACLE rows-only ({len(skipped)}): {' '.join(skipped)}")
+    if fails:
+        print(f"FAIL ({len(fails)}):")
+        for n, msg in fails:
+            print(f"  {n}: {msg}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
