@@ -1,1 +1,382 @@
-QUERIES: dict = {}
+"""Training-data-pipeline operators over ``documents``: deduplication
+families (exact, n-gram Jaccard, MinHash, SimHash) and text analysis
+(language-ID heuristic, quality scoring, token stats, fingerprinting).
+
+Hash parity trick: both engines derive a 64-bit integer token hash from
+the FIRST 15 HEX DIGITS OF MD5 — Spark ``conv(substr(md5(x),1,15),16,10)``
+== DuckDB ``('0x'||substr(md5(x),1,15))::bigint`` — so MinHash/SimHash
+signatures are bit-identical across engines (verified in tools/check_oracle).
+At 100 TB scale the md5 would be swapped for xxhash64 (Spark-side only);
+md5 here buys cross-engine verifiability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .common import t
+
+MERSENNE = 2147483647  # 2^31 - 1; keeps a*h+b within int64
+
+# (a, b) pairs for the k MinHash permutations h_i(x) = (a*x + b) mod p
+MINHASH_COEFFS = [
+    (1103515245, 12345),
+    (1299709, 7919),
+    (104729, 65537),
+    (15485863, 32452843),
+    (49979687, 86028121),
+    (67867967, 49979693),
+    (982451653, 179424673),
+    (32452867, 15485867),
+]
+
+SIMHASH_BITS = 32
+
+STOPWORDS = "the|a|of|to|in|is|and"
+
+
+def _words(df: DataFrame) -> DataFrame:
+    """Explode documents into (doc_id, pos, word)."""
+    return df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+def _doc_hash64(col):
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+_HASH64_SQL = "(('0x' || substr(md5({x}), 1, 15))::bigint)"
+
+
+# --- exact dedup (hash groupBy) ----------------------------------------------
+def dd1_exact_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_dupes"),
+        )
+    )
+
+
+DD1_SQL = """
+SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes
+FROM documents GROUP BY source
+"""
+
+
+# --- n-gram Jaccard near-dup pairs -------------------------------------------
+JACCARD_MIN = 0.12
+
+
+def dd2_ngram_jaccard_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        _words(docs)
+        .withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+    )
+    return j.filter(F.col("jaccard") >= JACCARD_MIN).select(
+        "doc_a", "doc_b", "n_inter", "n_union", "jaccard"
+    )
+
+
+DD2_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       sa.sz + sb.sz - n_inter AS n_union,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {JACCARD_MIN}
+"""
+
+
+# --- MinHash signatures + LSH band pairs --------------------------------------
+def _shingle_hashes(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        _words(docs)
+        .withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            (
+                _doc_hash64(F.concat_ws(" ", "word", "w1", "w2")) % MERSENNE
+            ).alias("h"),
+        )
+        .distinct()
+    )
+
+
+def dd3_minhash_signatures(spark, sf_dir):
+    sh = _shingle_hashes(spark, sf_dir)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SH_SQL = f"""
+  SELECT DISTINCT doc_id,
+         {_HASH64_SQL.format(x='shingle')} % {MERSENNE} AS h
+  FROM (
+    SELECT doc_id,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents)
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+"""
+
+DD3_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(({a} * h + {b}) % {MERSENNE}) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)
+) + f" FROM ({_SH_SQL}) GROUP BY doc_id"
+
+
+def dd4_minhash_band_pairs(spark, sf_dir):
+    """LSH: 4 bands x 2 rows; pairs sharing any band are near-dup candidates."""
+    sig = dd3_minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "_", F.col(f"mh{2 * band}"), F.col(f"mh{2 * band + 1}")
+            ).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+DD4_SQL = f"""
+WITH sig AS ({DD3_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0::varchar || '_' || mh1::varchar AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, mh2::varchar || '_' || mh3::varchar FROM sig
+  UNION ALL SELECT doc_id, 2, mh4::varchar || '_' || mh5::varchar FROM sig
+  UNION ALL SELECT doc_id, 3, mh6::varchar || '_' || mh7::varchar FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+def dd5_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        _words(docs)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", _doc_hash64(F.col("word")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+DD5_SQL = (
+    "SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {2**j}::bigint ELSE 0::bigint END)"
+        for j in range(SIMHASH_BITS)
+    )
+    + " AS simhash FROM (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    + f""" FROM (
+      SELECT doc_id, word, count(*) AS cnt, {_HASH64_SQL.format(x='word')} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, word
+    ) GROUP BY doc_id)"""
+)
+
+
+# --- text analysis -----------------------------------------------------------
+def tx1_language_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.expr(f"regexp_count(text, '\\\\b({STOPWORDS})\\\\b')")
+    guess = F.when(n_stop * 20 >= n_tok, "en").otherwise("unknown")
+    return (
+        docs.withColumn("lang_guess", guess)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+TX1_SQL = f"""
+SELECT lang,
+       CASE WHEN len(regexp_extract_all(text, '\\b({STOPWORDS})\\b')) * 20
+                 >= len(string_split(text, ' '))
+            THEN 'en' ELSE 'unknown' END AS lang_guess,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def tx2_quality_score(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.expr(f"regexp_count(text, '\\\\b({STOPWORDS})\\\\b')")
+    len_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    stop_score = F.least(n_stop * 10.0 / n_tok, F.lit(1.0))
+    score = F.round(0.6 * len_score + 0.4 * stop_score, 6)
+    return (
+        docs.withColumn("q", score)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(F.col("q").cast("decimal(24,6)")).cast("double"), 4).alias(
+                "sum_quality"
+            ),
+            F.sum((F.col("q") >= 0.8).cast("int")).alias("n_high_quality"),
+        )
+    )
+
+
+TX2_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       round(cast(sum(cast(q as decimal(24,6))) as double), 4) AS sum_quality,
+       cast(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS bigint) AS n_high_quality
+FROM (
+  SELECT source,
+         round(0.6 * least(n_chars / 400.0, 1.0)
+             + 0.4 * least(len(regexp_extract_all(text, '\\b({STOPWORDS})\\b')) * 10.0
+                           / len(string_split(text, ' ')), 1.0), 6) AS q
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+def tx3_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = _words(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return words.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_unique_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max(F.length("word")).alias("max_token_len"),
+    )
+
+
+TX3_SQL = """
+SELECT source, count(*) AS n_tokens, count(DISTINCT word) AS n_unique_tokens,
+       count(DISTINCT doc_id) AS n_docs, max(len(word)) AS max_token_len
+FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY source
+"""
+
+
+def tx4_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    fp = F.substring(F.md5(norm.cast("binary")), 1, 16)
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+
+
+TX4_SQL = """
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16)) AS n_fingerprints,
+       min(substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16)) AS min_fp
+FROM documents GROUP BY lang
+"""
+
+
+QUERIES = {
+    "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
+    "dd2_ngram_jaccard_pairs": (dd2_ngram_jaccard_pairs, DD2_SQL),
+    "dd3_minhash_signatures": (dd3_minhash_signatures, DD3_SQL),
+    "dd4_minhash_band_pairs": (dd4_minhash_band_pairs, DD4_SQL),
+    "dd5_simhash": (dd5_simhash, DD5_SQL),
+    "tx1_language_id": (tx1_language_id, TX1_SQL),
+    "tx2_quality_score": (tx2_quality_score, TX2_SQL),
+    "tx3_token_stats": (tx3_token_stats, TX3_SQL),
+    "tx4_fingerprint": (tx4_fingerprint, TX4_SQL),
+}

@@ -484,6 +484,182 @@ GROUP BY user_id
 """
 
 
+
+
+# --- W7: uniform time-grid generation + left join --------------------------
+# ref: /root/reference/src/transform/resample.py:31-56, sync.py:90-121
+def w7_hour_grid(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(F.count("*").alias("n"))
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_slots"),
+        F.sum(F.col("n").isNull().cast("int")).alias("n_empty"),
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_events"),
+    )
+
+
+W7_SQL = """
+WITH spans AS (
+  SELECT user_id, min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, interval 1 hour)) AS hour
+  FROM spans
+), hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT grid.user_id, count(*) AS n_slots,
+       cast(sum(CASE WHEN hourly.n IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_empty,
+       cast(sum(coalesce(hourly.n, 0)) AS bigint) AS n_events
+FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND grid.hour = hourly.hour
+GROUP BY grid.user_id
+"""
+
+
+# --- W9: gap-aware linear interpolation -------------------------------------
+# ref: /root/reference/src/transform/position.py:164-211 (2 s gap barrier),
+#      /root/reference/src/transform/resample.py:359-381
+INTERP_MAX_GAP_US = 1800 * 1_000_000
+
+
+def w9_interpolate(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", K_PATTERN, 1).cast("long")
+    base = ev.withColumn(
+        "value_n", F.when(k < 20, None).otherwise(F.col("value"))
+    ).withColumn("ts_n", F.when(k < 20, None).otherwise(F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    past = w.rowsBetween(Window.unboundedPreceding, -1)
+    future = w.rowsBetween(1, Window.unboundedFollowing)
+    df = (
+        base.withColumn("prev_v", F.last("value_n", ignorenulls=True).over(past))
+        .withColumn("prev_t", F.last("ts_n", ignorenulls=True).over(past))
+        .withColumn("next_v", F.first("value_n", ignorenulls=True).over(future))
+        .withColumn("next_t", F.first("ts_n", ignorenulls=True).over(future))
+        .withColumn("span_us", F.expr("timestampdiff(MICROSECOND, prev_t, next_t)"))
+        .withColumn("off_us", F.expr("timestampdiff(MICROSECOND, prev_t, ts)"))
+    )
+    can = (
+        F.col("value_n").isNull()
+        & F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("span_us") <= INTERP_MAX_GAP_US)
+    )
+    interp = F.round(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v")) * (F.col("off_us") / F.col("span_us")),
+        6,
+    )
+    df = df.withColumn("interp", F.when(can, interp))
+    return df.groupBy("user_id").agg(
+        F.count("interp").alias("n_interpolated"),
+        F.sum(F.col("value_n").isNull().cast("int")).alias("n_null_before"),
+        dsum("interp", "sum_interp"),
+    )
+
+
+W9_SQL = f"""
+SELECT user_id, count(interp) AS n_interpolated,
+       cast(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null_before,
+       {dsum_sql('interp', 'sum_interp')}
+FROM (
+  SELECT user_id, value_n,
+         CASE WHEN value_n IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+                   AND span_us <= {INTERP_MAX_GAP_US}
+              THEN round(prev_v + (next_v - prev_v) * (off_us / span_us), 6)
+         END AS interp
+  FROM (
+    SELECT user_id, value_n,
+           last_value(value_n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+           first_value(value_n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+           date_diff('microsecond',
+             last_value(ts_n IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             first_value(ts_n IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) AS span_us,
+           date_diff('microsecond',
+             last_value(ts_n IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             ts) AS off_us
+    FROM (SELECT *,
+                 CASE WHEN try_cast(regexp_extract(props, '{{K}}', 1) AS bigint) < 20
+                      THEN NULL ELSE value END AS value_n,
+                 CASE WHEN try_cast(regexp_extract(props, '{{K}}', 1) AS bigint) < 20
+                      THEN NULL ELSE ts END AS ts_n
+          FROM events)
+  )
+)
+GROUP BY user_id
+""".replace("{K}", K_PATTERN)
+
+
+# --- W10: derived rate + centered rolling median -----------------------------
+# ref: derived speed /root/reference/src/transform/resample.py:250-295
+def w10_derived_rate(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    centered = w.rowsBetween(-2, 2)
+    df = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_v", F.lag("value").over(w))
+        .withColumn("dt_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .withColumn(
+            "rate",
+            F.when(
+                F.col("dt_us") > 0,
+                (F.col("value") - F.col("prev_v")) / (F.col("dt_us") / 1_000_000.0),
+            ),
+        )
+        .withColumn("rate_smooth", F.expr("percentile(rate, 0.5)").over(centered))
+    )
+    return df.groupBy("user_id").agg(
+        F.count("rate").alias("n_rates"),
+        (F.round(F.expr("percentile(rate_smooth, 0.5)"), 6) + F.lit(0.0)).alias("p50_rate_smooth"),
+        (F.round(F.min("rate_smooth"), 6) + F.lit(0.0)).alias("min_rate_smooth"),
+        (F.round(F.max("rate_smooth"), 6) + F.lit(0.0)).alias("max_rate_smooth"),
+    )
+
+
+W10_SQL = """
+SELECT user_id, count(rate) AS n_rates,
+       round(quantile_cont(rate_smooth, 0.5), 6) + 0.0 AS p50_rate_smooth,
+       round(min(rate_smooth), 6) + 0.0 AS min_rate_smooth,
+       round(max(rate_smooth), 6) + 0.0 AS max_rate_smooth
+FROM (
+  SELECT user_id, rate,
+         median(rate) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS rate_smooth
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 0
+                THEN (value - lag(value) OVER w)
+                     / (date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0)
+           END AS rate
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+)
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "p1_regex_parse": (p1_regex_parse, P1_SQL),
     "d1_dedup_keep_last": (d1_dedup_keep_last, D1_SQL),
@@ -499,4 +675,7 @@ QUERIES = {
     "v2_validation_stats": (v2_validation_stats, V2_SQL),
     "v4_route_fanout": (v4_route_fanout, V4_SQL),
     "w8_ffill_limit": (w8_ffill_limit, W8_SQL),
+    "w7_hour_grid": (w7_hour_grid, W7_SQL),
+    "w9_interpolate": (w9_interpolate, W9_SQL),
+    "w10_derived_rate": (w10_derived_rate, W10_SQL),
 }

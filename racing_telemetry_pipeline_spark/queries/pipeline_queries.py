@@ -1,1 +1,70 @@
-QUERIES: dict = {}
+"""Transcript-pipeline queries for the driver contract.
+
+These run the actual north-star pipeline (plans/pipeline.py) over the
+deterministic synthetic transcript table (FIXTURES.md §1), generated once
+into a temp dir. No DuckDB oracle is possible (the transcripts table is
+not among the pre-registered views) so the driver records rows-only
+checks; the full value-level correctness of these stages is covered by
+the pandas-oracle pytest suite (tests/test_pipeline_e2e.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..config import DEFAULTS
+from ..datagen import write_transcripts
+from ..plans.pipeline import _build_routed
+
+_CACHE: dict[str, str] = {}
+
+
+def _raw_dir(scale: str = "sf-unit") -> str:
+    if scale not in _CACHE:
+        d = os.path.join(tempfile.gettempdir(), f"rtps_raw_{scale}")
+        marker = os.path.join(d, "part-00000.parquet")
+        if not os.path.exists(marker):
+            write_transcripts(d, scale)
+        _CACHE[scale] = d
+    return _CACHE[scale]
+
+
+def pipe1_routed(spark, sf_dir):
+    """Full parse->sync->enrich->route plan; per-sink counts + reasons."""
+    routed = _build_routed(spark, _raw_dir(), DEFAULTS, parse_engine="pandas_udf")
+    return routed.groupBy("route", "reason").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def pipe2_monotonic_invariant(spark, sf_dir):
+    """Post-repair backwards count must be 0 (north-star invariant W11)."""
+    routed = _build_routed(spark, _raw_dir(), DEFAULTS, parse_engine="builtin")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flag = F.coalesce(F.col("ts_sync") < F.lag("ts_sync").over(w), F.lit(False))
+    return routed.withColumn("_bw", flag.cast("int")).agg(
+        F.sum("_bw").alias("n_backwards_after_repair"),
+        F.sum(F.col("is_backwards").cast("int")).alias("n_backwards_raw"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def pipe3_tool_aggregates(spark, sf_dir):
+    """Per-sink aggregate stage over the routed plan (A4-A7 analog)."""
+    from ..operators.aggregates import tool_call_frequency
+
+    routed = _build_routed(spark, _raw_dir(), DEFAULTS, parse_engine="pandas_udf")
+    return tool_call_frequency(routed)
+
+
+QUERIES = {
+    "pipe1_routed": (pipe1_routed, None),
+    "pipe2_monotonic_invariant": (pipe2_monotonic_invariant, None),
+    "pipe3_tool_aggregates": (pipe3_tool_aggregates, None),
+}
