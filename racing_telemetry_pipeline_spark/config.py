@@ -40,10 +40,11 @@ class PipelineSettings:
     # ffill limit 4 periods)
     ffill_limit: int = 4
 
-    # skew handling: conversations with more turns than this are processed
-    # through the salted two-phase aggregation path
-    hot_conv_turns: int = 100_000
-    salt_buckets: int = 16
+    # skew handling (operators/skew.py): per-conv windows run within
+    # turn-range buckets of this width, stitched across boundaries — no
+    # task processes more than ~bucket rows of one conversation
+    use_salted_sync: bool = True
+    salt_bucket_turns: int = 32768
 
     # routing sink names
     sinks: tuple[str, ...] = ("valid", "quarantine", "tool_events")
@@ -66,4 +67,5 @@ SCALES: dict[str, Scale] = {
     "sf-unit": Scale("sf-unit", n_convs=50, mean_turns=40, n_hot=1),
     "sf-small": Scale("sf-small", n_convs=900, mean_turns=220, n_hot=2),
     "sf-bench": Scale("sf-bench", n_convs=9000, mean_turns=900, n_hot=3),
+    "sf-scaling": Scale("sf-scaling", n_convs=18000, mean_turns=900, n_hot=3),
 }

@@ -6,7 +6,7 @@ Barber-R1-profile pathologies injected at fixed seeded rates:
 
 - ~16% duplicate ``(conv_id, turn_idx)`` rows whose earlier copies carry
   stale text — keep-LAST must win (reference dedup:
-  /root/reference/src/ingestion/anomalies.py:39-70; observed dup rate
+  /root/reference/src/ingestion/anomalies.py:39-95; observed dup rate
   /root/reference/data/processed/barber_r1/ingestion_stats.json:6-7).
 - backwards timestamps on ~10% of turns in ~90% of conversations
   (reference: 1.05M backwards ts on 18/20 cars,
@@ -17,9 +17,9 @@ Barber-R1-profile pathologies injected at fixed seeded rates:
   turns), negative latencies, unknown roles.
 - 1-3 "hot" conversations each holding ~5% of all turns (skew testing).
 
-Everything is vectorized numpy/pandas — generation of the 8M-turn bench
-scale takes seconds. The SAME arrays drive the pandas oracle, so oracle
-and pipeline read identical bytes from disk.
+All numeric work is numpy; string assembly uses pyarrow compute kernels
+(binary_join_element_wise / if_else), which generate ~40M rows/min —
+pandas object-string concatenation was 10x slower.
 """
 
 from __future__ import annotations
@@ -27,9 +27,11 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import SCALES, Scale
+
 from .dims import TOOLS
 
 _FILLERS = [
@@ -47,7 +49,7 @@ _EVENT_KINDS = ["retry", "timeout", "handoff", "escalation"]
 
 _ROLES = np.array(["user", "assistant", "tool", "system"])
 
-BASE_EPOCH = pd.Timestamp("2025-01-01 00:00:00").value // 10**9  # UTC seconds
+BASE_EPOCH = 1735689600  # 2025-01-01 00:00:00 UTC, seconds
 
 
 def _conv_lengths(scale: Scale, rng: np.random.Generator) -> np.ndarray:
@@ -59,8 +61,14 @@ def _conv_lengths(scale: Scale, rng: np.random.Generator) -> np.ndarray:
     return base.astype(np.int64)
 
 
-def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pd.DataFrame:
-    """Return the raw transcript table as a pandas DataFrame in ingest order."""
+def _join(*parts) -> pa.Array:
+    """Element-wise concat; the last positional arg of the arrow kernel is
+    the separator."""
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pa.Table:
+    """Return the raw transcript table as a pyarrow Table in ingest order."""
     scale = SCALES[scale_name]
     rng = np.random.default_rng(seed)
 
@@ -84,6 +92,7 @@ def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pd.Data
     row_clean = clean_conv[conv_num]
     bw_mask = (rng.random(n) < 0.10) & (~row_clean) & (turn_idx > 0)
     ts_sec = np.where(bw_mask, ts_sec - rng.uniform(0.5, 30.0, n), ts_sec)
+    ts_us = np.round(ts_sec * 1e6).astype(np.int64)
 
     # --- roles / tools ---
     role = _ROLES[turn_idx % 4]
@@ -103,61 +112,67 @@ def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pd.Data
     latency_ms = np.where(sentinel_mask, 32768, latency_ms)
     latency_ms = np.where(negative_mask, -5, latency_ms)
 
-    # --- text assembly (vectorized pandas string ops) ---
-    conv_id = pd.Series(conv_num).map(lambda c: f"conv-{c:06d}").to_numpy()
-    filler = np.asarray(_FILLERS)[turn_idx % len(_FILLERS)]
-    base_text = pd.Series(
-        np.char.add(
-            np.char.add("turn ", turn_idx.astype(str)),
-            np.char.add(": ", filler),
-        )
+    # --- text assembly (arrow kernels, no per-row Python) ---
+    turn_s = pc.cast(pa.array(turn_idx), pa.string())
+    filler = pa.array(np.asarray(_FILLERS)[turn_idx % len(_FILLERS)])
+    base_text = _join("turn ", turn_s, ": ", filler)
+    tool_pa = pa.array(tool)
+    tool_text = _join(
+        'calling <tool_call name="', tool_pa,
+        '" args_bytes=', pc.cast(pa.array(args_bytes), pa.string()),
+        " latency_ms=", pc.cast(pa.array(latency_ms), pa.string()),
+        "/> ok",
     )
-    tool_text = (
-        'calling <tool_call name="'
-        + pd.Series(tool)
-        + '" args_bytes='
-        + pd.Series(args_bytes).astype(str)
-        + " latency_ms="
-        + pd.Series(latency_ms).astype(str)
-        + "/> ok"
+    bad_tool_text = _join(
+        'calling <tool_call name="', tool_pa, '" args_bytes=?? latency_ms=/> ok'
     )
-    bad_tool_text = (
-        'calling <tool_call name="' + pd.Series(tool) + '" args_bytes=?? latency_ms=/> ok'
-    )
-    text = base_text.where(~is_tool, tool_text).where(~malformed_mask, bad_tool_text)
+    text = pc.if_else(pa.array(is_tool), tool_text, base_text)
+    text = pc.if_else(pa.array(malformed_mask), bad_tool_text, text)
     event_mask = (~is_tool) & (rng.random(n) < 0.05)
-    event_tag = " [event:" + pd.Series(np.asarray(_EVENT_KINDS)[turn_idx % 4]) + "]"
-    text = text.where(~event_mask, text + event_tag)
+    event_tag = _join(
+        " [event:", pa.array(np.asarray(_EVENT_KINDS)[turn_idx % 4]), "]"
+    )
+    text = pc.if_else(pa.array(event_mask), _join(text, event_tag), text)
 
-    df = pd.DataFrame(
+    table = pa.table(
         {
-            "conv_id": conv_id,
-            "turn_idx": turn_idx,
-            "role": role,
-            "text": text.to_numpy(),
-            "tool": tool,
-            "ts": pd.to_datetime(ts_sec * 1e9).round("us"),
+            "conv_id": _join("conv-", pc.utf8_lpad(
+                pc.cast(pa.array(conv_num), pa.string()), 6, "0")),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(role),
+            "text": text,
+            "tool": tool_pa,
+            "ts": pa.array(ts_us, pa.timestamp("us")),
         }
     )
 
     # --- duplicate injection: stale earlier copies, keep-last must win ---
     dup_mask = rng.random(n) < 0.16
     dup2_mask = dup_mask & (rng.random(n) < 0.08)  # a few triple-dups
-    order_final = np.stack([np.arange(n), np.full(n, 2)], axis=1)
-    parts = [(df, order_final)]
+    parts = [table]
+    keys = [np.stack([np.arange(n), np.full(n, 2)], axis=1)]
     for mask, rank in ((dup_mask, 1), (dup2_mask, 0)):
         idx = np.flatnonzero(mask)
-        stale = df.iloc[idx].copy()
-        stale["text"] = "<<stale>> " + stale["text"]
-        stale["ts"] = stale["ts"] - pd.Timedelta(milliseconds=50 * (2 - rank))
-        parts.append((stale, np.stack([idx, np.full(len(idx), rank)], axis=1)))
+        stale = table.take(idx)
+        stale = stale.set_column(
+            stale.schema.get_field_index("text"),
+            "text",
+            _join("<<stale>> ", stale["text"].combine_chunks()),
+        )
+        stale = stale.set_column(
+            stale.schema.get_field_index("ts"),
+            "ts",
+            pa.array(
+                ts_us[idx] - 50_000 * (2 - rank), pa.timestamp("us")
+            ),
+        )
+        parts.append(stale)
+        keys.append(np.stack([idx, np.full(len(idx), rank)], axis=1))
 
-    all_df = pd.concat([p[0] for p in parts], ignore_index=True)
-    keys = np.concatenate([p[1] for p in parts])
-    order = np.lexsort((keys[:, 1], keys[:, 0]))
-    out = all_df.iloc[order].reset_index(drop=True)
-    out["turn_idx"] = out["turn_idx"].astype(np.int32)
-    return out
+    all_tbl = pa.concat_tables(parts)
+    k = np.concatenate(keys)
+    order = np.lexsort((k[:, 1], k[:, 0]))
+    return all_tbl.take(order)
 
 
 def write_transcripts(
@@ -172,16 +187,13 @@ def write_transcripts(
     ``_metadata.row_index`` reconstruct the ingest ordinal exactly
     (SURVEY.md §7.4 risk 1: order-dependent keep-last dedup).
     """
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    df = generate_transcripts(scale_name, seed)
-    # microsecond unit: Spark's parquet reader does not accept TIMESTAMP(NANOS)
-    df["ts"] = df["ts"].astype("datetime64[us]")
+    table = generate_transcripts(scale_name, seed)
     os.makedirs(out_dir, exist_ok=True)
-    n_files = max(1, (len(df) + rows_per_file - 1) // rows_per_file)
+    n = table.num_rows
+    n_files = max(1, (n + rows_per_file - 1) // rows_per_file)
     for i in range(n_files):
-        chunk = df.iloc[i * rows_per_file : (i + 1) * rows_per_file]
-        table = pa.Table.from_pandas(chunk, preserve_index=False)
-        pq.write_table(table, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        chunk = table.slice(i * rows_per_file, rows_per_file)
+        pq.write_table(chunk, os.path.join(out_dir, f"part-{i:05d}.parquet"))
     return out_dir

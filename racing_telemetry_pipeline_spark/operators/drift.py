@@ -45,6 +45,7 @@ def drift_calibration(
     ts_col: str = "ts",
     window_sec: int = 300,
     step_std_factor: float = 3.0,
+    dt_col: str | None = None,
 ) -> DataFrame:
     """Per-(conv, tumbling window) drift stats over inter-turn deltas.
 
@@ -52,10 +53,18 @@ def drift_calibration(
     window key = floor(epoch(ts)/window)*window so a SQL oracle can
     reproduce it exactly. Emits median/mean/std/count per window plus a
     step_detected flag (std > factor x per-conv median of window stds).
+
+    Pass ``dt_col`` when the input already carries the per-turn delta
+    (e.g. the routed table's ``dt_sec`` from add_time_flags) — the stage
+    then plans as a pure aggregation with NO window shuffle over the raw
+    table, which is what lets the aggregate stages scale (see bench).
     """
-    w = Window.partitionBy(conv_col).orderBy(order_col)
     us = F.unix_micros(F.col(ts_col))
-    dt = (us - F.lag(us).over(w)) / F.lit(1_000_000.0)
+    if dt_col is None:
+        w = Window.partitionBy(conv_col).orderBy(order_col)
+        dt = (us - F.lag(us).over(w)) / F.lit(1_000_000.0)
+    else:
+        dt = F.col(dt_col)
     # integer division for exact window binning at boundaries
     win = (us - F.pmod(us, F.lit(window_sec * 1_000_000))) / F.lit(1_000_000)
     win = win.cast("long")

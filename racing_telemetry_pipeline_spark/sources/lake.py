@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,10 @@ class Lake:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
+        # stages/tables are written from concurrent driver threads
+        # (plans/pipeline.py overlaps independent jobs); manifest updates
+        # are read-modify-write and need the lock
+        self._lock = threading.RLock()
 
     # -- manifest ---------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -91,6 +96,7 @@ class Lake:
 
     # -- stage completion records (resume points) ---------------------------
     def mark_stage(self, stage: str, input_snapshot: str, tables: list[str]) -> None:
+      with self._lock:
         m = self._load_manifest()
         m.setdefault("stages", {})[stage] = {
             "input_snapshot": input_snapshot,
@@ -123,14 +129,15 @@ class Lake:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        m = self._load_manifest()
-        m["tables"][name] = {
-            "snapshot_id": _fingerprint_dir(path),
-            "input_snapshot": input_snapshot,
-            "written_at": time.time(),
-            "partition_by": partition_by or [],
-        }
-        self._save_manifest(m)
+        with self._lock:
+            m = self._load_manifest()
+            m["tables"][name] = {
+                "snapshot_id": _fingerprint_dir(path),
+                "input_snapshot": input_snapshot,
+                "written_at": time.time(),
+                "partition_by": partition_by or [],
+            }
+            self._save_manifest(m)
         return path
 
     def read(self, name: str) -> DataFrame:

@@ -100,11 +100,16 @@ def test_resume_idempotent(spark, raw_unit, tmp_path_factory):
     )
     r2 = run_pipeline(spark, raw_unit, root)
     assert "routed" in r2.stages_skipped  # stage 1 NOT recomputed
-    assert set(r2.stages_run) == {"drift_calibration", "aggregates"}
+    assert set(r2.stages_run) == {"drift_calibration", "aggregates", "lineage"}
     # third run with nothing changed: every stage skipped
     r3 = run_pipeline(spark, raw_unit, root)
     assert r3.stages_run == []
-    assert set(r3.stages_skipped) == {"routed", "drift_calibration", "aggregates"}
+    assert set(r3.stages_skipped) == {
+        "routed",
+        "drift_calibration",
+        "aggregates",
+        "lineage",
+    }
     mtime_after = max(
         os.path.getmtime(os.path.join(dp, f))
         for dp, _, fs in os.walk(routed_dir)
