@@ -62,3 +62,42 @@ def route_rows(df: DataFrame, settings: PipelineSettings = DEFAULTS) -> DataFram
     """Add ``route`` and ``reason`` columns (pure ``when`` chain, codegen'd)."""
     route, reason = _route_expr(settings)
     return df.withColumn("route", route).withColumn("reason", reason)
+
+
+def load_policy(path: str | None = None) -> dict:
+    """Load the declarative routing policy (reference analog:
+    /root/reference/src/conf/validation_policy.yaml:7-80)."""
+    import os
+
+    import yaml
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "conf", "policy.yaml")
+    with open(path) as fh:
+        return yaml.safe_load(fh)
+
+
+def compile_policy(df: DataFrame, policy: dict) -> DataFrame:
+    """Compile a policy dict into route/reason/warn columns.
+
+    Each check is one SQL boolean expression; ``fail`` checks chain into
+    the quarantine reason (list order = precedence, first match wins),
+    ``warn`` checks become ``warn_<reason>`` boolean columns. Everything
+    stays a Catalyst ``when`` chain — no Python in the row path.
+    """
+    reason = F.lit(None).cast("string")
+    for chk in reversed([c for c in policy["checks"] if c["severity"] == "fail"]):
+        cond = F.coalesce(F.expr(chk["when"]), F.lit(False))
+        reason = F.when(cond, F.lit(chk["reason"])).otherwise(reason)
+    for chk in [c for c in policy["checks"] if c["severity"] == "warn"]:
+        df = df.withColumn(
+            f"warn_{chk['reason']}",
+            F.coalesce(F.expr(chk["when"]), F.lit(False)),
+        )
+    tool_when = F.coalesce(F.expr(policy["routes"]["tool_events"]), F.lit(False))
+    route = (
+        F.when(reason.isNotNull(), F.lit("quarantine"))
+        .when(tool_when, F.lit("tool_events"))
+        .otherwise(F.lit(policy["routes"]["default"]))
+    )
+    return df.withColumn("route", route).withColumn("reason", reason)

@@ -145,6 +145,7 @@ def run_pipeline(
             input_snapshot=res.input_snapshot,
             sort_within=["conv_id", "turn_idx"],
         )
+        lake.register_sink_aliases("routed", "route", list(settings.sinks))
 
     stage(
         "routed",

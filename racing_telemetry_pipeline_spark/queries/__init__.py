@@ -9,11 +9,11 @@ after sorting columns by name).
 
 from __future__ import annotations
 
-from . import log_ops, tpch, dedup_text, similarity, pipeline_queries
+from . import log_ops, tpch, dedup_text, similarity, features, pipeline_queries
 
 
 def all_queries():
     out = {}
-    for mod in (log_ops, tpch, dedup_text, similarity, pipeline_queries):
+    for mod in (log_ops, tpch, dedup_text, similarity, features, pipeline_queries):
         out.update(mod.QUERIES)
     return out

@@ -141,4 +141,30 @@ class Lake:
         return path
 
     def read(self, name: str) -> DataFrame:
+        m = self._load_manifest()
+        alias = m.get("aliases", {}).get(name)
+        if alias is not None:
+            return self.spark.read.parquet(
+                os.path.join(self.root, alias["path"])
+            )
         return self.spark.read.parquet(self.table_path(name))
+
+    def register_sink_aliases(
+        self, table: str, partition_col: str, values: list[str], prefix: str = "sink_"
+    ) -> None:
+        """Expose each partition of a fan-out table as a logical sink table.
+
+        ``sink_valid`` -> ``routed/route=valid`` etc. The partitioned write
+        IS the fan-out (one pass, pruned reads); the aliases give each sink
+        a first-class table name, matching the per-sink-table contract
+        without writing the data three times.
+        """
+        with self._lock:
+            m = self._load_manifest()
+            aliases = m.setdefault("aliases", {})
+            for v in values:
+                aliases[f"{prefix}{v}"] = {
+                    "path": f"{table}/{partition_col}={v}",
+                    "of_table": table,
+                }
+            self._save_manifest(m)

@@ -1,0 +1,87 @@
+"""Structured Streaming variant of the transcript pipeline.
+
+The reference is pure batch (SURVEY.md §2.11 — no watermarks/state), and
+the north rule is batch-at-rest over lake snapshots; this module exists for
+the continuous-ingest deployment mode: the same parse -> enrich -> route
+logic bound to ``readStream`` with event-time watermarks, windowed
+aggregates, and exactly-once fan-out via ``foreachBatch``.
+
+Stateless stages (parse/enrich/route) are SHARED with the batch plan —
+the route/parse functions operate on any DataFrame, batch or streaming.
+The order-dependent stages (keep-last dedup by ingest ordinal, monotonic
+repair over full conversations) are inherently batch semantics; streaming
+mode approximates dedup with ``dropDuplicatesWithinWatermark`` and defers
+exact repair to the batch compactor (the reference's layered-lake model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULTS, PipelineSettings
+from ..datagen.dims import dim_roles_pdf, dim_tools_pdf
+from ..functions.grok import parse_text
+from ..operators.routing import apply_sentinels, route_rows
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _enrich_route(spark: SparkSession, df: DataFrame, settings: PipelineSettings,
+                  parse_engine: str) -> DataFrame:
+    df = parse_text(df, engine=parse_engine)
+    df = apply_sentinels(df, settings)
+    dim_roles = F.broadcast(spark.createDataFrame(dim_roles_pdf()))
+    dim_tools = F.broadcast(
+        spark.createDataFrame(dim_tools_pdf()).withColumnRenamed("tool", "tool_key")
+    )
+    df = df.join(dim_roles, on="role", how="left")
+    df = df.join(dim_tools, df.tool_name == dim_tools.tool_key, how="left").drop(
+        "tool_key"
+    )
+    return route_rows(df, settings)
+
+
+def streaming_route(
+    spark: SparkSession,
+    source_dir: str,
+    settings: PipelineSettings = DEFAULTS,
+    parse_engine: str = "builtin",
+    watermark: str = "10 minutes",
+):
+    """readStream(parquet) -> dedup-within-watermark -> parse/enrich/route.
+
+    Returns the streaming DataFrame (caller attaches the sink; tests use
+    the memory sink, production would ``foreachBatch`` into the lake).
+    """
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(source_dir)
+    )
+    deduped = raw.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    return _enrich_route(spark, deduped, settings, parse_engine)
+
+
+def streaming_tool_stats(routed: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """Event-time tumbling-window tool-call stats (A1 analog, streaming)."""
+    return (
+        routed.filter(F.col("route") == "tool_events")
+        .groupBy(F.window("ts", window).alias("win"), F.col("tool_name"))
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.avg("latency_ms").alias("avg_latency_ms"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""Structured Streaming pipeline: memory-sink smoke + equivalence of the
+stateless stages with the batch path."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from racing_telemetry_pipeline_spark.streaming import (
+    streaming_route,
+    streaming_tool_stats,
+)
+
+
+def test_streaming_route_counts(spark, raw_unit, oracle_unit):
+    routed = streaming_route(spark, raw_unit)
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("routed_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT route, count(*) AS n FROM routed_stream GROUP BY route")
+        .toPandas()
+        .set_index("route")["n"]
+        .sort_index()
+    )
+    # dropDuplicatesWithinWatermark dedups by key but keeps the FIRST
+    # arrival, not the ingest-last — text-level equality is a batch
+    # guarantee; routed key-counts must still match the oracle exactly
+    want = (
+        oracle_unit["routed"].groupby("route").size().sort_index()
+    )
+    assert got.to_dict() == want.to_dict()
+
+
+def test_streaming_windowed_tool_stats(spark, raw_unit):
+    routed = streaming_route(spark, raw_unit)
+    agg = streaming_tool_stats(routed, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tool_stats_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pdf = spark.sql("SELECT * FROM tool_stats_stream").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_calls"] > 0).all()
+    assert {"win", "tool_name", "n_calls", "avg_latency_ms"} <= set(pdf.columns)
