@@ -343,7 +343,31 @@ FROM ({A1_SQL}) GROUP BY user_id
 """
 
 
+# --- R2: pivot presence / missing-signal accounting --------------------------
+# ref: /root/reference/src/transform/pivot.py:28-45,130-135,174-189
+def r2_pivot_presence(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types_present")
+    )
+    return (
+        per_user.withColumn("n_types_missing", F.lit(5) - F.col("n_types_present"))
+        .groupBy("n_types_present", "n_types_missing")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+R2_SQL = """
+SELECT n_types_present, 5 - n_types_present AS n_types_missing,
+       count(*) AS n_users
+FROM (SELECT user_id, count(DISTINCT event_type) AS n_types_present
+      FROM events GROUP BY user_id)
+GROUP BY n_types_present
+"""
+
+
 QUERIES = {
+    "r2_pivot_presence": (r2_pivot_presence, R2_SQL),
     "w6_boundary_confidence": (w6_boundary_confidence, W6_SQL),
     "a7_segment_features": (a7_segment_features, A7_SQL),
     "a7_session_rollup": (a7_session_rollup, A7B_SQL),
