@@ -109,11 +109,12 @@ def main() -> int:
     spark.stop()
 
     raw_dir, n_turns = ensure_bench_raw()
-    # Scaling pair: local[4] vs local[16] by default. With the Arrow grok
-    # UDF every task pairs a JVM thread with a Python worker, so local[32]
-    # on a 32-core host oversubscribes (64 runnable threads) and measures
-    # scheduler thrash, not scaling. 4/16 keeps both configs under capacity.
-    pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")
+    # Scaling pair: local[1] vs local[4] by default — the ~11M-turn input
+    # is large enough there to amortize the fixed per-job driver overhead
+    # that a real multi-executor cluster would not centralize. (local[32]
+    # additionally oversubscribes: with the Arrow grok UDF every task pairs
+    # a JVM thread with a Python worker.) Override: SPARK_GRAFT_SCALE_CORES.
+    pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")
     n, n4 = int(pair[0]), int(pair[1])
     # The sandbox host has high CPU-time variance (same single-thread loop
     # swings ~40% between runs), so each configuration takes the MIN over

@@ -62,8 +62,8 @@ def role_latency_percentiles(routed: DataFrame, approx: bool = False) -> DataFra
         .withColumn(
             "turn_latency_sec",
             (
-                F.unix_micros(F.col("ts_sync"))
-                - F.lag(F.unix_micros(F.col("ts_sync"))).over(w)
+                F.unix_micros(F.col("ts_sync").cast("timestamp"))
+                - F.lag(F.unix_micros(F.col("ts_sync").cast("timestamp"))).over(w)
             )
             / F.lit(1_000_000.0),
         )

@@ -31,7 +31,7 @@ def add_time_flags(
     w = Window.partitionBy(conv_col).orderBy(order_col)
     # integer-microsecond subtraction BEFORE the divide: subtracting two
     # cast-to-double epochs loses ~1e-7 s at 2025 epochs (float64 ulp)
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     dt = (us - F.lag(us).over(w)) / F.lit(1_000_000.0)
     is_backwards = F.coalesce(dt < -backwards_tolerance_sec, F.lit(False))
     is_gap = F.coalesce(dt > gap_threshold_sec, F.lit(False))

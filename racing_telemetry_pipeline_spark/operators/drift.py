@@ -59,7 +59,7 @@ def drift_calibration(
     then plans as a pure aggregation with NO window shuffle over the raw
     table, which is what lets the aggregate stages scale (see bench).
     """
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     if dt_col is None:
         w = Window.partitionBy(conv_col).orderBy(order_col)
         dt = (us - F.lag(us).over(w)) / F.lit(1_000_000.0)

@@ -66,7 +66,7 @@ def salted_parse_sync(
     # --- within-bucket window state (same exchange as the dedup) ---
     w_o = Window.partitionBy(conv_col, BUCKET_COL).orderBy(order_col)
     run = w_o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev_us_in = F.lag(us).over(w_o)
     df = (
         df.withColumn("_us", us)

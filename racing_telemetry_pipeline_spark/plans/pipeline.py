@@ -143,7 +143,10 @@ def run_pipeline(
             "routed",
             partition_by=["route"],
             input_snapshot=res.input_snapshot,
-            sort_within=["conv_id", "turn_idx"],
+            # route leads the sort so the dynamic-partition writer reuses
+            # this ordering instead of adding its own sort; conv/turn order
+            # inside each sink file gives deterministic output (O2)
+            sort_within=["route", "conv_id", "turn_idx"],
         )
         lake.register_sink_aliases("routed", "route", list(settings.sinks))
 
