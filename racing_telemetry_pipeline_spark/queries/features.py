@@ -366,6 +366,44 @@ GROUP BY n_types_present
 """
 
 
+
+
+# --- A5: coverage metrics / sim-ready flags -----------------------------------
+# ref: coverage + sim-ready /root/reference/src/transform/resample.py:196-230,
+#      409-436; per-car coverage custom expectation
+#      /root/reference/src/validation/custom_expectations.py:14-131
+def a5_coverage(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("hour").alias("n_hours_active"),
+        (F.expr("timestampdiff(HOUR, date_trunc('hour', min(ts)), "
+                "date_trunc('hour', max(ts)))") + 1).alias("n_hours_span"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchases"),
+    )
+    # integer threshold compare (active/span >= 0.10) without a quotient
+    ready = (F.col("n_hours_active") * 10 >= F.col("n_hours_span")) & (
+        F.col("n_purchases") > 0
+    )
+    return per_user.withColumn("sim_ready", ready)
+
+
+A5_SQL = """
+SELECT user_id, n_hours_active, n_hours_span, n_purchases,
+       (n_hours_active * 10 >= n_hours_span) AND (n_purchases > 0) AS sim_ready
+FROM (
+  SELECT user_id,
+         count(DISTINCT date_trunc('hour', ts)) AS n_hours_active,
+         date_diff('hour', date_trunc('hour', min(ts)),
+                   date_trunc('hour', max(ts))) + 1 AS n_hours_span,
+         cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint)
+           AS n_purchases
+  FROM events GROUP BY user_id
+)
+"""
+
+
 QUERIES = {
     "r2_pivot_presence": (r2_pivot_presence, R2_SQL),
     "w6_boundary_confidence": (w6_boundary_confidence, W6_SQL),
@@ -375,4 +413,5 @@ QUERIES = {
     "p3_unit_normalization": (p3_unit_normalization, P3_SQL),
     "p8_haversine_track": (p8_haversine_track, P8_SQL),
     "a3_drift_rollup": (a3_drift_rollup, A3_SQL),
+    "a5_coverage": (a5_coverage, A5_SQL),
 }

@@ -75,6 +75,58 @@ def streaming_route(
     return _enrich_route(spark, deduped, settings, parse_engine)
 
 
+def conversation_tracker(raw: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running totals via
+    ``applyInPandasWithState`` (the Structured Streaming escape hatch for
+    operators Spark lacks natively — SURVEY.md §2.11).
+
+    State per conv_id: turns seen, max event time, tool turns. Emits one
+    updated row per conversation per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("n_tool_turns", T.LongType()),
+            T.StructField("max_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("n_tool_turns", T.LongType()),
+            T.StructField("max_ts_us", T.LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        n, n_tool, max_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            n_tool += int((pdf["role"] == "tool").sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                max_us = max(max_us, int(pd.Timestamp(batch_max).value // 1000))
+        state.update((n, n_tool, max_us))
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": key[0],
+                    "n_turns": n,
+                    "n_tool_turns": n_tool,
+                    "max_ts": pd.Timestamp(max_us * 1000),
+                }
+            ]
+        )
+
+    return raw.groupBy("conv_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_tool_stats(routed: DataFrame, window: str = "5 minutes") -> DataFrame:
     """Event-time tumbling-window tool-call stats (A1 analog, streaming)."""
     return (

@@ -56,3 +56,52 @@ def test_streaming_windowed_tool_stats(spark, raw_unit):
     assert len(pdf) > 0
     assert (pdf["n_calls"] > 0).all()
     assert {"win", "tool_name", "n_calls", "avg_latency_ms"} <= set(pdf.columns)
+
+
+def test_stateful_conversation_tracker(spark, raw_unit, oracle_unit):
+    from pyspark.sql import functions as F
+    from racing_telemetry_pipeline_spark.streaming.stream_pipeline import (
+        RAW_SCHEMA,
+        conversation_tracker,
+    )
+
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(raw_unit)
+    )
+    tracked = conversation_tracker(raw)
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest state per conv == batch ground truth over RAW (incl. dups)
+    got = (
+        spark.sql(
+            """SELECT conv_id, max(n_turns) AS n_turns,
+                      max(n_tool_turns) AS n_tool
+               FROM conv_state GROUP BY conv_id"""
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    batch = spark.read.parquet(raw_unit)
+    want = (
+        batch.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert got["n_turns"].to_dict() == want["n_turns"].to_dict()
+    assert got["n_tool"].to_dict() == want["n_tool"].to_dict()
