@@ -164,9 +164,95 @@ GROUP BY label
 """
 
 
+
+
+# --- embedding-cosine near-duplicate pairs ------------------------------------
+# (dedup family: near-dup detection in embedding space)
+NEARDUP_MIN = 0.35
+
+
+def sim5_embedding_neardup_pairs(spark, sf_dir):
+    e = _emb_double(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= NEARDUP_MIN)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+SIM5_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            4) >= {NEARDUP_MIN}
+"""
+
+
+# --- IVF-style ANN: centroid cells = the scale path ----------------------------
+# centroids are the first K vectors (deterministic "training"); every vector
+# is assigned to its nearest centroid cell; search only touches one cell.
+N_CENTROIDS = 8
+
+
+def sim6_ivf_assign(spark, sf_dir):
+    e = _emb_double(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    j = e.crossJoin(F.broadcast(cents))
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    ranked = j.withColumn("cos_c", F.round(cos, 6)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+        ),
+    )
+    cells = ranked.filter(F.col("rn") == 1)
+    return cells.groupBy("cent_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.round(F.sum(F.col("cos_c").cast("decimal(24,6)")).cast("double"), 4)
+        .alias("sum_cos_to_centroid"),
+    )
+
+
+SIM6_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.label, c.cent_id,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+               6) AS cos_c
+  FROM e CROSS JOIN c
+), cells AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) = 1
+)
+SELECT cent_id, count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
+       round(cast(sum(cast(cos_c as decimal(24,6))) as double), 4) AS sum_cos_to_centroid
+FROM cells GROUP BY cent_id
+"""
+
+
 QUERIES = {
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
     "sim2_lsh_signatures": (sim2_lsh_signatures, SIM2_SQL),
     "sim3_lsh_bucket_stats": (sim3_lsh_bucket_stats, SIM3_SQL),
     "sim4_vector_norms": (sim4_vector_norms, SIM4_SQL),
+    "sim5_embedding_neardup_pairs": (sim5_embedding_neardup_pairs, SIM5_SQL),
+    "sim6_ivf_assign": (sim6_ivf_assign, SIM6_SQL),
 }

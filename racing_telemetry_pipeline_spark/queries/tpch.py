@@ -201,6 +201,31 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+
+
+# --- rollup / grouping sets ---------------------------------------------------
+def a10_rollup_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double"), 2)
+            .alias("sum_price"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+A10_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(cast(sum(cast(l_extendedprice as decimal(24,6))) as double), 2) AS sum_price,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS grouping_level
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -208,4 +233,5 @@ QUERIES = {
     "o1_topk_orders_per_priority": (o1_topk_orders_per_priority, O1_SQL),
     "j3_customers_without_orders": (j3_customers_without_orders, J3_SQL),
     "a4_order_baseline_stats": (a4_order_baseline_stats, A4_SQL),
+    "a10_rollup_revenue": (a10_rollup_revenue, A10_SQL),
 }

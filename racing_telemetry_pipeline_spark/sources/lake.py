@@ -149,6 +149,48 @@ class Lake:
             )
         return self.spark.read.parquet(self.table_path(name))
 
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite a table into ~target-sized files (small-file compaction).
+
+        At 10^12-row scale a streaming/fan-out sink accumulates thousands
+        of small files per partition; compaction keeps scan parallelism
+        aligned with file size (Iceberg's rewrite_data_files analog).
+        Returns the new file count.
+        """
+        import shutil
+
+        path = self.table_path(name)
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        n_files = max(1, -(-total // target_file_bytes))
+        df = self.spark.read.parquet(path)
+        entry = self._load_manifest()["tables"].get(name, {})
+        partition_by = entry.get("partition_by") or None
+        tmp = path + "__compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer = df.coalesce(int(n_files)).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        with self._lock:
+            m = self._load_manifest()
+            if name in m["tables"]:
+                m["tables"][name]["snapshot_id"] = _fingerprint_dir(path)
+                m["tables"][name]["compacted_at"] = time.time()
+            self._save_manifest(m)
+        return sum(
+            1
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
     def register_sink_aliases(
         self, table: str, partition_col: str, values: list[str], prefix: str = "sink_"
     ) -> None:

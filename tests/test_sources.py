@@ -66,3 +66,16 @@ def test_snapshot_ids_change_on_rewrite(spark, raw_unit, tmp_path):
     lake.write(df.limit(5), "t1", input_snapshot="b")
     s2 = lake.snapshot_id("t1")
     assert s1 and s2 and s1 != s2
+
+
+def test_compaction(spark, raw_unit, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lakec"))
+    df = spark.read.parquet(raw_unit).repartition(16)  # force many small files
+    lake.write(df, "many_files", input_snapshot="x")
+    before = lake.read("many_files").count()
+    n_files = lake.compact("many_files", target_file_bytes=512 * 1024)
+    assert n_files < 16
+    after = lake.read("many_files")
+    assert after.count() == before
+    # manifest snapshot updated
+    assert lake.snapshot_id("many_files")
