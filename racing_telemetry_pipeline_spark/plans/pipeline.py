@@ -58,7 +58,9 @@ def _build_routed(
     parse_engine: str,
 ) -> DataFrame:
     """The fused parse->sync->enrich->route logical plan (lazy)."""
-    raw = spark.read.parquet(raw_path)
+    from ..schemas import validate_raw
+
+    raw = validate_raw(spark.read.parquet(raw_path))
 
     # Stage order is chosen for ONE exchange total: dedup, anomaly flags and
     # monotonic repair all window over conv_id with compatible sort orders,
@@ -101,7 +103,9 @@ def _build_routed(
     )
 
     # route stage: policy predicates -> route/reason columns
-    return route_rows(df, settings)
+    from ..schemas import validate_routed
+
+    return validate_routed(route_rows(df, settings))
 
 
 def run_pipeline(
