@@ -49,6 +49,7 @@ class PipelineResult:
     stages_skipped: list[str] = field(default_factory=list)
     timings: dict[str, float] = field(default_factory=dict)
     input_snapshot: str = ""
+    observed_metrics: dict = field(default_factory=dict)
 
 
 def _build_routed(
@@ -141,7 +142,21 @@ def run_pipeline(
 
     # -- stage 1-4 fused: routed table (partitioned by route = the fan-out) --
     def build_routed():
+        from pyspark.sql import Observation
+
         routed = _build_routed(spark, raw_path, settings, parse_engine)
+        # observe(): ingest-stats metrics (A8 analog) captured DURING the
+        # sink write — zero extra scans (reference spends a pass on these,
+        # /root/reference/src/ingestion/ingest.py:268-299)
+        obs = Observation("routed_stats")
+        routed = routed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("is_backwards").cast("long")).alias("n_backwards_raw"),
+            F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+            F.sum((F.col("route") == "quarantine").cast("long")).alias("n_quarantined"),
+            F.sum(F.col("parse_ok").cast("long")).alias("n_tool_calls"),
+        )
         lake.write(
             routed,
             "routed",
@@ -152,6 +167,8 @@ def run_pipeline(
             # inside each sink file gives deterministic output (O2)
             sort_within=["route", "conv_id", "turn_idx"],
         )
+        res.observed_metrics = dict(obs.get)
+        lake.record_stage_metrics("routed", res.observed_metrics)
         lake.register_sink_aliases("routed", "route", list(settings.sinks))
 
     stage(

@@ -94,6 +94,16 @@ class Lake:
     def fingerprint_input(self, path: str) -> str:
         return _fingerprint_dir(path)
 
+    def record_stage_metrics(self, stage: str, metrics: dict) -> None:
+        """Persist observe()-captured stage metrics into the manifest."""
+        with self._lock:
+            m = self._load_manifest()
+            m.setdefault("stage_metrics", {})[stage] = metrics
+            self._save_manifest(m)
+
+    def stage_metrics(self, stage: str) -> dict:
+        return self._load_manifest().get("stage_metrics", {}).get(stage, {})
+
     # -- stage completion records (resume points) ---------------------------
     def mark_stage(self, stage: str, input_snapshot: str, tables: list[str]) -> None:
       with self._lock:

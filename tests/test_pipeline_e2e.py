@@ -162,3 +162,14 @@ def test_parse_engines_agree_end_to_end(spark, raw_unit, tmp_path_factory):
         .toPandas()
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_observed_metrics_match_data(lake_small, oracle_small):
+    """observe()-captured write metrics equal oracle ground truth."""
+    m = lake_small.stage_metrics("routed")
+    o = oracle_small["routed"]
+    assert m["n_rows"] == len(o)
+    assert m["n_quarantined"] == (o["route"] == "quarantine").sum()
+    assert m["n_tool_calls"] == o["parse_ok"].sum()
+    assert m["n_backwards_raw"] == o["is_backwards"].sum()
+    assert m["n_gaps"] == o["is_gap"].sum()
