@@ -369,6 +369,103 @@ FROM documents GROUP BY lang
 """
 
 
+
+
+# --- near-dup clustering: connected components over candidate pairs ----------
+# The dedup endgame: cluster near-duplicate docs and elect a canonical id
+# (min doc_id per component). Spark side: iterative min-label propagation
+# to a fixpoint (driver loop over the candidate-pair edge set, which the
+# shingle blocking already bounds); oracle side: transitive closure via a
+# DuckDB recursive CTE. Both converge to the same deterministic fixpoint.
+MIN_SHARED_SHINGLES = 3
+
+
+def _candidate_edges(spark, sf_dir):
+    sh = _shingle_hashes(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
+        .select("src", "dst")
+    )
+
+
+def dd6_dedup_clusters(spark, sf_dir):
+    edges = _candidate_edges(spark, sf_dir).cache()
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    # min-label propagation to fixpoint; localCheckpoint() truncates the
+    # lineage every round — without it Catalyst re-analyzes an
+    # exponentially growing plan (measured 1.2s -> 22s by iteration 4)
+    labels = labels.localCheckpoint()
+    for _ in range(64):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        ).localCheckpoint()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+DD6_SQL = f"""
+WITH RECURSIVE sh AS ({_SH_SQL}),
+base_edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SHARED_SHINGLES}
+), edges AS (
+  SELECT src, dst FROM base_edges
+  UNION ALL SELECT dst, src FROM base_edges
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+), labels AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT cluster_id, count(*) AS n_docs, min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM labels GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_ngram_jaccard_pairs": (dd2_ngram_jaccard_pairs, DD2_SQL),
@@ -379,4 +476,5 @@ QUERIES = {
     "tx2_quality_score": (tx2_quality_score, TX2_SQL),
     "tx3_token_stats": (tx3_token_stats, TX3_SQL),
     "tx4_fingerprint": (tx4_fingerprint, TX4_SQL),
+    "dd6_dedup_clusters": (dd6_dedup_clusters, DD6_SQL),
 }
