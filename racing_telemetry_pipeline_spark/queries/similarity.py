@@ -168,14 +168,57 @@ GROUP BY label
 
 # --- embedding-cosine near-duplicate pairs ------------------------------------
 # (dedup family: near-dup detection in embedding space)
+#
+# SCALE PATH (round-2 rework): candidates come from a BANDED hyperplane-LSH
+# equi-join — 3 bands x 2 planes over the sim2 signature, exactly the shape
+# dd4 uses for MinHash text dedup — never from a cross join. At 10^9
+# vectors the old all-pairs crossJoin was 10^18 comparisons; the band join
+# touches only same-band-key buckets (P[candidate] ~ 0.76 at cos 0.35 vs
+# 1-(1-(1-theta/pi)^2)^3 analytics), then verifies exact cosine on the
+# candidate set only.
 NEARDUP_MIN = 0.35
+N_BANDS = 3
+PLANES_PER_BAND = 2  # N_PLANES == N_BANDS * PLANES_PER_BAND
+
+
+def _banded_keys(sig):
+    """Explode a 6-bit signature into (vec_id, band, key) rows: band b's key
+    is bits [2b, 2b+1] of the signature (2 planes per band)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.floor(F.col("lsh_bucket") / F.lit(4**b)).cast("long") % 4).alias(
+                    "key"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("vec_id", F.explode(bands).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+_BANDS_SQL_ROWS = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, ((lsh_bucket // {4**b}) % 4) AS key FROM sig"
+    for b in range(N_BANDS)
+)
 
 
 def sim5_embedding_neardup_pairs(spark, sf_dir):
     e = _emb_double(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    banded = _banded_keys(sim2_lsh_signatures(spark, sf_dir))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()  # a pair can collide in >1 band
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
     cos = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )
@@ -187,15 +230,82 @@ def sim5_embedding_neardup_pairs(spark, sf_dir):
 
 
 SIM5_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+WITH sig AS ({SIM2_SQL}),
+bands AS ({_BANDS_SQL_ROWS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT id_a, id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
              4) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
             4) >= {NEARDUP_MIN}
+"""
+
+
+def sim7_ann_topk(spark, sf_dir):
+    """End-to-end bucketed ANN retrieval: each query probes only the
+    vectors sharing at least one LSH band key with it (sim2's index side),
+    ranks candidates by exact cosine, keeps top-k. The scale replacement
+    for sim1's exhaustive scan — per query it touches O(corpus / 4) rows
+    per band instead of the whole corpus. Recall vs the exact sim1 answer
+    is asserted in tests/test_similarity_ann.py.
+
+    Reference-capability analog: broadcast lookup enrich at scale
+    (/root/reference/src/transform/position.py:40-57) — here the "lookup"
+    is the LSH bucket index."""
+    e = _emb_double(spark, sf_dir)
+    banded = _banded_keys(sim2_lsh_signatures(spark, sf_dir))
+    q = banded.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), "band", "key"
+    )
+    cand = (
+        q.join(banded, ["band", "key"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    eq = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    en = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    pairs = cand.join(eq, "qid").join(en, "nid")
+    cos = _dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))
+    )
+    ranked = pairs.withColumn("cos_sim", F.round(cos, 4)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select("qid", "nid", "cos_sim", "rank")
+
+
+SIM7_SQL = f"""
+WITH sig AS ({SIM2_SQL}),
+bands AS ({_BANDS_SQL_ROWS}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < {N_QUERY} AND q.vec_id <> c.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT qid, nid,
+         round(list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))),
+               4) AS cos_sim
+  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid
+)
+SELECT qid, nid, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
 """
 
 
@@ -206,21 +316,7 @@ N_CENTROIDS = 8
 
 
 def sim6_ivf_assign(spark, sf_dir):
-    e = _emb_double(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    j = e.crossJoin(F.broadcast(cents))
-    cos = _dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
-    ranked = j.withColumn("cos_c", F.round(cos, 6)).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
-        ),
-    )
-    cells = ranked.filter(F.col("rn") == 1)
+    cells = _ivf_scored(spark, sf_dir).filter(F.col("rn") == 1)
     return cells.groupBy("cent_id").agg(
         F.count("*").alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),
@@ -248,6 +344,88 @@ FROM cells GROUP BY cent_id
 """
 
 
+NPROBE = 2
+
+
+def _ivf_scored(spark, sf_dir):
+    """Every vector scored against every centroid (broadcast — centroids
+    are tiny by construction) with its per-vector rank; rn=1 is the cell
+    assignment (sim6), rn<=NPROBE is the query-side probe set (sim8)."""
+    e = _emb_double(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    j = e.crossJoin(F.broadcast(cents))
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    return j.withColumn("cos_c", F.round(cos, 6)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+        ),
+    )
+
+
+def sim8_ivf_topk(spark, sf_dir):
+    """IVF cell-probed ANN retrieval (nprobe=2): each query searches only
+    the vectors assigned to its 2 nearest centroid cells — the second
+    bucketed retrieval path (sim7 is the LSH one). Cells partition the
+    corpus, so probe-join candidates are already unique; no distinct
+    needed. At scale the centroid table stays broadcast-size (K ~ 2^16 for
+    10^9 vectors) while the corpus-side join is a plain shuffle on
+    cent_id."""
+    scored = _ivf_scored(spark, sf_dir)
+    cells = scored.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("nid"), "cent_id", F.col("v").alias("nv")
+    )
+    probes = scored.filter(
+        (F.col("vec_id") < N_QUERY) & (F.col("rn") <= NPROBE)
+    ).select(F.col("vec_id").alias("qid"), "cent_id", F.col("v").alias("qv"))
+    pairs = probes.join(cells, "cent_id").filter(F.col("qid") != F.col("nid"))
+    cos = _dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))
+    )
+    ranked = pairs.withColumn("cos_sim", F.round(cos, 4)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select("qid", "nid", "cos_sim", "rank")
+
+
+SIM8_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.cent_id, e.v,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+               6) AS cos_c,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+               6) DESC, c.cent_id) AS rn
+  FROM e CROSS JOIN c
+),
+cells AS (SELECT vec_id AS nid, cent_id, v AS nv FROM scored WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cent_id, v AS qv FROM scored
+           WHERE vec_id < {N_QUERY} AND rn <= {NPROBE}),
+pairs AS (
+  SELECT qid, nid,
+         round(list_dot_product(qv, nv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))),
+               4) AS cos_sim
+  FROM probes JOIN cells USING (cent_id) WHERE qid <> nid
+)
+SELECT qid, nid, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
     "sim2_lsh_signatures": (sim2_lsh_signatures, SIM2_SQL),
@@ -255,4 +433,6 @@ QUERIES = {
     "sim4_vector_norms": (sim4_vector_norms, SIM4_SQL),
     "sim5_embedding_neardup_pairs": (sim5_embedding_neardup_pairs, SIM5_SQL),
     "sim6_ivf_assign": (sim6_ivf_assign, SIM6_SQL),
+    "sim7_ann_topk": (sim7_ann_topk, SIM7_SQL),
+    "sim8_ivf_topk": (sim8_ivf_topk, SIM8_SQL),
 }
