@@ -91,6 +91,43 @@ def drift_calibration(
     )
 
 
+def compare_drift_methods(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    dt_col: str | None = None,
+) -> DataFrame:
+    """Per-conversation drift estimate by three methods side-by-side:
+    mean, median, and Huber M-estimate (reference:
+    /root/reference/src/transform/drift.py:229-264 compare_drift_methods).
+
+    mean/median/std/count stay pure Catalyst; the iterative Huber runs in
+    the existing applyInPandas operator. Both branches aggregate on
+    conv_col, so the join is co-partitioned — no extra full-width shuffle
+    beyond the two aggregations themselves.
+    """
+    from ..functions.robust import huber_by_group
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if dt_col is None:
+        w = Window.partitionBy(conv_col).orderBy(order_col)
+        dt = (us - F.lag(us).over(w)) / F.lit(1_000_000.0)
+    else:
+        dt = F.col(dt_col)
+    drift = df.withColumn("_dt", dt).filter(F.col("_dt").isNotNull())
+    basic = drift.groupBy(conv_col).agg(
+        F.avg("_dt").alias("drift_mean"),
+        F.expr("percentile(_dt, 0.5)").alias("drift_median"),
+        F.stddev("_dt").alias("drift_std"),
+        F.count("*").alias("n_samples"),
+    )
+    huber = huber_by_group(drift, [conv_col], "_dt").withColumnRenamed(
+        "huber_mean", "drift_huber"
+    ).drop("n")
+    return basic.join(huber, conv_col)
+
+
 def count_backwards(df: DataFrame, conv_col: str, order_col: str, ts_col: str) -> int:
     """Post-repair monotonicity re-check (north-star invariant: 0)."""
     w = Window.partitionBy(conv_col).orderBy(order_col)

@@ -111,13 +111,18 @@ def salted_parse_sync(
         )
     )
 
+    # The summary grows with conversation count (one row per conv x bucket):
+    # at the 10^12-turn design point it can exceed Spark's broadcast limit,
+    # so do NOT force-broadcast it. shuffle_hash keeps the join sort-free;
+    # the big side already carries hashpartitioning(conv, bucket) from the
+    # windows above so only the tiny summary side re-shuffles, and AQE will
+    # still convert to a broadcast join at runtime when the summary is
+    # actually small.
     df = df.join(
-        F.broadcast(
-            summ.select(
-                conv_col, BUCKET_COL, "prev_last_us", "boundary_flag",
-                "prefix_max_prev", "seg_offset",
-            )
-        ),
+        summ.select(
+            conv_col, BUCKET_COL, "prev_last_us", "boundary_flag",
+            "prefix_max_prev", "seg_offset",
+        ).hint("shuffle_hash"),
         [conv_col, BUCKET_COL],
     )
 

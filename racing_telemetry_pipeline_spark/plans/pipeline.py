@@ -304,14 +304,18 @@ def _write_lineage(
     (/root/reference/src/transform/sync.py:375-439,
      /root/reference/src/ingestion/ingest.py:268-299).
 
-    One narrow scan computes (partition, route)-grained counts; both the
-    per-partition lineage table and the per-route metrics table derive
-    from that tiny intermediate on the driver — one job, not two.
+    One narrow scan computes (file, route)-grained counts; both the
+    per-file lineage table and the per-route metrics table derive from
+    that tiny intermediate on the driver — one job, not two. The lineage
+    key is the written FILE PATH (``_metadata.file_path``), which is
+    stable across re-reads — ``spark_partition_id()`` on a re-read table
+    is the split-planning id and changes with maxPartitionBytes/executor
+    count, so it cannot anchor lineage at scale.
     """
     df = lake.read(stage_name)
     fine = (
         df.groupBy(
-            F.spark_partition_id().alias("partition_id"), F.col("route")
+            F.col("_metadata.file_path").alias("partition_id"), F.col("route")
         )
         .agg(
             F.count("*").alias("n_rows"),

@@ -74,6 +74,29 @@ FROM documents GROUP BY source
 # --- n-gram Jaccard near-dup pairs -------------------------------------------
 JACCARD_MIN = 0.12
 
+# Stop-shingle cap: a shingle present in more than this many documents is
+# dropped BEFORE the equality self-join. Without it, one boilerplate
+# shingle shared by 10^6 docs makes a 10^12-pair group (the round-1
+# scale-killer); with it, no blocking key ever produces more than
+# MAX_SHINGLE_DF^2/2 pairs regardless of corpus size. 64 > the max df
+# observed in the test corpora, so small-scale results are unchanged;
+# tests/test_hot_shingle.py proves the bound bites on a hot-key fixture.
+MAX_SHINGLE_DF = 64
+
+
+def _rare_only(sh: DataFrame, key: str) -> DataFrame:
+    """Keep only rows whose ``key`` has document frequency <= cap. The df
+    aggregation and the semi-join both shuffle on ``key`` — the same
+    partitioning the following self-join needs, so the cap rides along
+    without an extra full-width exchange."""
+    rare = (
+        sh.groupBy(key)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select(key)
+    )
+    return sh.join(rare, key)
+
 
 def dd2_ngram_jaccard_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -86,6 +109,7 @@ def dd2_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
         .distinct()
     )
+    sh = _rare_only(sh, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -112,12 +136,16 @@ WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
-), sh AS (
+), sh_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
     FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
   ) WHERE shingle IS NOT NULL
+), sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all
+                    GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF})
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -381,7 +409,9 @@ MIN_SHARED_SHINGLES = 3
 
 
 def _candidate_edges(spark, sf_dir):
-    sh = _shingle_hashes(spark, sf_dir)
+    # stop-shingle cap before the blocking self-join (same bound as dd2:
+    # no hash key can ever group more than MAX_SHINGLE_DF docs)
+    sh = _rare_only(_shingle_hashes(spark, sf_dir), "h")
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
@@ -443,7 +473,12 @@ def dd6_dedup_clusters(spark, sf_dir):
 
 
 DD6_SQL = f"""
-WITH RECURSIVE sh AS ({_SH_SQL}),
+WITH RECURSIVE sh_all AS ({_SH_SQL}),
+sh AS (
+  SELECT doc_id, h FROM sh_all
+  WHERE h IN (SELECT h FROM sh_all
+              GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF})
+),
 base_edges AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id

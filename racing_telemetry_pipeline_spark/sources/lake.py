@@ -46,22 +46,51 @@ def _fingerprint_dir(path: str) -> str:
                 continue
             p = os.path.join(root, f)
             st = os.stat(p)
-            h.update(f"{os.path.relpath(p, path)}:{st.st_size}".encode())
+            # mtime_ns matters: a rewrite with identical names/sizes but
+            # different content must produce a NEW snapshot id, or resume
+            # would silently skip stages on changed data
+            h.update(
+                f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
     return h.hexdigest()[:16]
 
 
 class Lake:
-    """A directory of named tables with snapshot manifests + resume."""
+    """A directory of named tables with snapshot manifests + resume.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Two storage modes share one interface:
+
+    - path mode (default): partitioned parquet under ``root`` + JSON
+      manifest standing in for Iceberg snapshots;
+    - catalog mode (``catalog=`` set): DataSourceV2 ``writeTo(...)
+      .partitionedBy(...)`` into a named catalog — the Iceberg deployment
+      path. With Iceberg jars, ``catalog="iceberg_cat"`` +
+      ``table_format="iceberg"`` gives hidden partitioning and real
+      snapshot ids; the sandbox exercises the identical writeTo code path
+      against the session catalog with parquet format
+      (tests/test_iceberg_dsv2.py).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog: str | None = None,
+        table_format: str = "parquet",
+    ):
         self.spark = spark
         self.root = root
+        self.catalog = catalog
+        self.table_format = table_format
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
         # stages/tables are written from concurrent driver threads
         # (plans/pipeline.py overlaps independent jobs); manifest updates
         # are read-modify-write and need the lock
         self._lock = threading.RLock()
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
 
     # -- manifest ---------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -85,11 +114,11 @@ class Lake:
     def is_current(self, name: str, input_snapshot: str) -> bool:
         """True iff ``name`` was produced from ``input_snapshot`` (resume)."""
         entry = self._load_manifest()["tables"].get(name)
-        return (
-            entry is not None
-            and entry.get("input_snapshot") == input_snapshot
-            and os.path.isdir(self.table_path(name))
-        )
+        if entry is None or entry.get("input_snapshot") != input_snapshot:
+            return False
+        if self.catalog:
+            return self.spark.catalog.tableExists(self._ident(name))
+        return os.path.isdir(self.table_path(name))
 
     def fingerprint_input(self, path: str) -> str:
         return _fingerprint_dir(path)
@@ -123,6 +152,24 @@ class Lake:
             and all(os.path.isdir(self.table_path(t)) for t in entry.get("tables", []))
         )
 
+    # -- streaming batch ledger (exactly-once foreachBatch sink) -----------
+    def batch_committed(self, table: str, batch_id: int) -> bool:
+        ids = self._load_manifest().get("stream_batches", {}).get(table, [])
+        return int(batch_id) in ids
+
+    def mark_batch(self, table: str, batch_id: int) -> None:
+        """Record a committed micro-batch id AFTER its write succeeded.
+        The sink writes each batch into its own batch_id partition with
+        dynamic overwrite, so even a replay that raced this ledger (crash
+        between write and mark) is idempotent — see
+        streaming.stream_pipeline.make_lake_batch_sink."""
+        with self._lock:
+            m = self._load_manifest()
+            ids = m.setdefault("stream_batches", {}).setdefault(table, [])
+            if int(batch_id) not in ids:
+                ids.append(int(batch_id))
+            self._save_manifest(m)
+
     # -- io ---------------------------------------------------------------
     def write(
         self,
@@ -135,14 +182,21 @@ class Lake:
         path = self.table_path(name)
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        if self.catalog:
+            self._write_dsv2(df, name, partition_by)
+            snapshot = hashlib.sha256(
+                f"{name}:{input_snapshot}:{time.time_ns()}".encode()
+            ).hexdigest()[:16]
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+            snapshot = _fingerprint_dir(path)
         with self._lock:
             m = self._load_manifest()
             m["tables"][name] = {
-                "snapshot_id": _fingerprint_dir(path),
+                "snapshot_id": snapshot,
                 "input_snapshot": input_snapshot,
                 "written_at": time.time(),
                 "partition_by": partition_by or [],
@@ -150,13 +204,40 @@ class Lake:
             self._save_manifest(m)
         return path
 
+    def _write_dsv2(self, df: DataFrame, name: str,
+                    partition_by: list[str] | None) -> None:
+        """DataSourceV2 writeTo path (the Iceberg deployment mode).
+
+        Iceberg catalogs support atomic ``createOrReplace``; the plain
+        session catalog (our jar-less stand-in) rejects REPLACE for v1
+        formats, so that path drops + creates — same writeTo builder, same
+        partitionedBy spec.
+        """
+        from pyspark.sql import functions as F
+
+        ident = self._ident(name)
+        writer = df.writeTo(ident).using(self.table_format)
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if self.table_format == "iceberg":
+            writer.createOrReplace()
+        else:
+            self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+            writer.create()
+
     def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.table(self._ident(name))
         m = self._load_manifest()
         alias = m.get("aliases", {}).get(name)
         if alias is not None:
-            return self.spark.read.parquet(
-                os.path.join(self.root, alias["path"])
-            )
+            # basePath keeps the partition column (e.g. route) in the
+            # alias's schema — sink_* tables must satisfy the same routed
+            # schema contract as the parent table, and consumers filter on
+            # route
+            return self.spark.read.option(
+                "basePath", os.path.join(self.root, alias["of_table"])
+            ).parquet(os.path.join(self.root, alias["path"]))
         return self.spark.read.parquet(self.table_path(name))
 
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
@@ -181,13 +262,21 @@ class Lake:
         entry = self._load_manifest()["tables"].get(name, {})
         partition_by = entry.get("partition_by") or None
         tmp = path + "__compacting"
+        old = path + "__old"
         shutil.rmtree(tmp, ignore_errors=True)
-        writer = df.coalesce(int(n_files)).write.mode("overwrite")
+        shutil.rmtree(old, ignore_errors=True)
+        # repartition, not coalesce: coalesce(n) also caps the READ
+        # parallelism of the rewrite, so compacting a large table would run
+        # on n tasks end-to-end
+        writer = df.repartition(int(n_files)).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
-        shutil.rmtree(path)
+        # swap via rename-aside so a crash between steps never leaves the
+        # table missing: old copy survives until the new one is in place
+        os.replace(path, old)
         os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
         with self._lock:
             m = self._load_manifest()
             if name in m["tables"]:

@@ -103,13 +103,16 @@ def conversation_tracker(raw: DataFrame) -> DataFrame:
     )
 
     def track(key, pdfs, state: GroupState):
-        n, n_tool, max_us = state.get if state.exists else (0, 0, 0)
+        # max ts starts as None, NOT epoch 0: a conversation whose ts
+        # values are all null must emit max_ts = null, not 1970-01-01
+        n, n_tool, max_us = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             n += len(pdf)
             n_tool += int((pdf["role"] == "tool").sum())
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
-                max_us = max(max_us, int(pd.Timestamp(batch_max).value // 1000))
+                v = int(pd.Timestamp(batch_max).value // 1000)
+                max_us = v if max_us is None else max(max_us, v)
         state.update((n, n_tool, max_us))
         yield pd.DataFrame(
             [
@@ -117,7 +120,9 @@ def conversation_tracker(raw: DataFrame) -> DataFrame:
                     "conv_id": key[0],
                     "n_turns": n,
                     "n_tool_turns": n_tool,
-                    "max_ts": pd.Timestamp(max_us * 1000),
+                    "max_ts": pd.Timestamp(max_us * 1000)
+                    if max_us is not None
+                    else pd.NaT,
                 }
             ]
         )
@@ -125,6 +130,72 @@ def conversation_tracker(raw: DataFrame) -> DataFrame:
     return raw.groupBy("conv_id").applyInPandasWithState(
         track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def make_lake_batch_sink(lake, table: str = "routed_stream"):
+    """foreachBatch sink into the layered lake with idempotent batch-id
+    dedup (exactly-once fan-out: Structured Streaming replays a micro-batch
+    after a crash-before-commit, so the sink must tolerate seeing the same
+    batch_id twice). Two layers make the replay safe:
+
+    - committed ids are recorded in the lake manifest; a replayed id whose
+      commit completed is skipped outright;
+    - each micro-batch lands in its own ``batch_id=<n>`` partition via
+      DYNAMIC partition overwrite, so a replay that raced the ledger
+      (crash between write and mark) overwrites its own partition instead
+      of double-appending — idempotent without Iceberg transactions.
+
+    Reference analog: the layered-lake writer
+    (/root/reference/src/ingestion/partitioning.py:75-208) — here each
+    micro-batch is hive-partitioned by (batch_id, route).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if lake.batch_committed(table, batch_id):
+            return
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "route")
+            .parquet(lake.table_path(table))
+        )
+        lake.mark_batch(table, batch_id)
+
+    return sink
+
+
+def streaming_to_lake(
+    spark: SparkSession,
+    source_dir: str,
+    lake_root: str,
+    settings: PipelineSettings = DEFAULTS,
+    parse_engine: str = "builtin",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Wire the streaming route into the lake via foreachBatch.
+
+    ``available_now=True`` drains everything currently in ``source_dir``
+    then stops (the test/backfill mode); production would run continuous
+    triggers with the same checkpoint for exactly-once resume.
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from ..sources.lake import Lake
+
+    routed = streaming_route(spark, source_dir, settings, parse_engine)
+    lake = Lake(spark, lake_root)
+    writer = (
+        routed.writeStream.foreachBatch(make_lake_batch_sink(lake))
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{lake_root}/_checkpoints/routed_stream",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_tool_stats(routed: DataFrame, window: str = "5 minutes") -> DataFrame:

@@ -24,9 +24,14 @@ def test_routed_plan_exchange_budget(spark, raw_unit):
 
     Unsalted: exactly ONE full-width hash exchange (dedup + all windows
     share the conv_id partitioning). Salted (skew-safe, default): the
-    bucket-summary branch adds a narrow column-pruned re-scan exchange and
-    a tiny per-conv summary exchange — 3 total, only one carrying full
-    rows. Dimension joins must broadcast, never sort-merge.
+    bucket-summary branch adds a narrow column-pruned re-scan exchange,
+    a tiny per-conv summary exchange, and a tiny exchange on the summary
+    side of the stitch join — 4 total, only one carrying full rows. The
+    stitch join is shuffle_hash, NOT a forced broadcast: the summary
+    grows with conversation count and would blow the broadcast limit at
+    the 10^12-turn design point (AQE still converts it to broadcast at
+    runtime when it is actually small). Dimension joins must broadcast;
+    nothing may sort-merge.
     """
     from dataclasses import replace
 
@@ -37,8 +42,8 @@ def test_routed_plan_exchange_budget(spark, raw_unit):
         assert "SortMergeJoin" not in plan
 
         plan_s = _plan(_build_routed(spark, raw_unit, DEFAULTS, engine))
-        assert plan_s.count("Exchange hashpartitioning") <= 3, plan_s[:2000]
-        assert plan_s.count("BroadcastExchange") >= 2  # dims (+ summary)
+        assert plan_s.count("Exchange hashpartitioning") <= 4, plan_s[:2000]
+        assert plan_s.count("BroadcastExchange") >= 2  # role/tool dims
         assert "SortMergeJoin" not in plan_s
 
 

@@ -45,6 +45,50 @@ def test_huber_by_group_matches_oracle(spark):
         assert got.loc[et, "n"] == len(grp)
 
 
+def test_compare_drift_methods_matches_pandas(spark, raw_unit):
+    """Reference compare_drift_methods analog: per-conv mean vs median vs
+    huber over the inter-turn drift series, all three checked against an
+    independent pandas/numpy computation."""
+    from racing_telemetry_pipeline_spark.operators.drift import (
+        compare_drift_methods,
+    )
+
+    from racing_telemetry_pipeline_spark.operators.dedup import (
+        add_ingest_ordinal,
+        dedup_keep_last,
+    )
+
+    # dedup first: duplicate (conv_id, turn_idx) keys would make the
+    # window's tie order (and hence the diff series) nondeterministic
+    raw = dedup_keep_last(
+        add_ingest_ordinal(spark.read.parquet(raw_unit)), drop_ordinal=True
+    )
+    got = (
+        compare_drift_methods(raw)
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    pdf = raw.select("conv_id", "turn_idx", "ts").toPandas()
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+    checked = 0
+    for conv, grp in pdf.groupby("conv_id"):
+        dt = grp["ts"].astype("datetime64[us]").astype("int64").diff() / 1e6
+        dt = dt.dropna().to_numpy()
+        if len(dt) == 0:
+            assert conv not in got.index
+            continue
+        row = got.loc[conv]
+        assert row["n_samples"] == len(dt)
+        assert row["drift_mean"] == pytest.approx(np.mean(dt), rel=1e-9)
+        assert row["drift_median"] == pytest.approx(np.median(dt), rel=1e-9)
+        if len(dt) > 1:
+            assert row["drift_std"] == pytest.approx(np.std(dt, ddof=1), rel=1e-9)
+        assert row["drift_huber"] == pytest.approx(_oracle(dt), abs=1e-9)
+        checked += 1
+    assert checked >= 40  # sf-unit has 50 conversations
+
+
 def test_huber_downweights_outliers():
     base = np.full(99, 10.0) + np.linspace(-0.5, 0.5, 99)
     contaminated = np.concatenate([base, [1e6]])

@@ -53,6 +53,10 @@ def test_sink_aliases(spark, raw_unit, tmp_path):
         n = df.count()
         assert n > 0
         assert "conv_id" in df.columns
+        # alias reads keep the partition column (basePath) so sink tables
+        # satisfy the routed schema contract and route filters work
+        assert "route" in df.columns
+        assert df.filter(F.col("route").isNotNull()).count() == n
         total += n
     assert total == lake.read("routed").count()
 
@@ -66,6 +70,23 @@ def test_snapshot_ids_change_on_rewrite(spark, raw_unit, tmp_path):
     lake.write(df.limit(5), "t1", input_snapshot="b")
     s2 = lake.snapshot_id("t1")
     assert s1 and s2 and s1 != s2
+
+
+def test_fingerprint_detects_content_rewrite(tmp_path):
+    """Same file name + same size + different bytes => different snapshot
+    id (resume must not skip stages on silently-changed data)."""
+    from racing_telemetry_pipeline_spark.sources.lake import _fingerprint_dir
+
+    d = tmp_path / "t"
+    d.mkdir()
+    f = d / "part-0.bin"
+    f.write_bytes(b"aaaa")
+    s1 = _fingerprint_dir(str(d))
+    os.utime(f, ns=(1, 1))
+    s_pinned = _fingerprint_dir(str(d))
+    f.write_bytes(b"bbbb")  # same size, new mtime
+    s2 = _fingerprint_dir(str(d))
+    assert s1 != s2 and s_pinned != s2
 
 
 def test_compaction(spark, raw_unit, tmp_path):

@@ -39,6 +39,50 @@ def test_streaming_route_counts(spark, raw_unit, oracle_unit):
     assert got.to_dict() == want.to_dict()
 
 
+def test_tracker_all_null_ts_emits_null_max(spark, tmp_path):
+    """A conversation whose ts values are all null must emit max_ts = null,
+    not epoch 1970 (fabricated event time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from racing_telemetry_pipeline_spark.streaming.stream_pipeline import (
+        RAW_SCHEMA,
+        conversation_tracker,
+    )
+
+    d = str(tmp_path / "nullts")
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c-null", "c-null", "c-ok"]),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user", "tool", "user"]),
+            "text": pa.array(["a", "b", "c"]),
+            "tool": pa.array(["", "grep", ""]),
+            "ts": pa.array([None, None, 1735689600_000_000], pa.timestamp("us")),
+        }
+    )
+    import os
+
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/part-0.parquet")
+    raw = spark.readStream.schema(RAW_SCHEMA).parquet(d)
+    q = (
+        conversation_tracker(raw)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("null_ts_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pdf = spark.sql("SELECT * FROM null_ts_state").toPandas().set_index("conv_id")
+    assert pd.isna(pdf.loc["c-null", "max_ts"])
+    assert pdf.loc["c-ok", "max_ts"] == pd.Timestamp("2025-01-01")
+    assert pdf.loc["c-null", "n_turns"] == 2
+
+
 def test_streaming_windowed_tool_stats(spark, raw_unit):
     routed = streaming_route(spark, raw_unit)
     agg = streaming_tool_stats(routed, window="5 minutes")
@@ -56,6 +100,58 @@ def test_streaming_windowed_tool_stats(spark, raw_unit):
     assert len(pdf) > 0
     assert (pdf["n_calls"] > 0).all()
     assert {"win", "tool_name", "n_calls", "avg_latency_ms"} <= set(pdf.columns)
+
+
+def test_foreachbatch_lake_sink_matches_batch(spark, raw_unit, tmp_path):
+    """The streaming foreachBatch lake sink must land the same routed rows
+    as the batch pipeline given the same (pre-deduped) input, and a
+    replayed micro-batch must be a no-op (idempotent batch-id ledger +
+    per-batch dynamic partition overwrite)."""
+    from racing_telemetry_pipeline_spark.config import DEFAULTS
+    from racing_telemetry_pipeline_spark.operators.dedup import (
+        add_ingest_ordinal,
+        dedup_keep_last,
+    )
+    from racing_telemetry_pipeline_spark.plans.pipeline import _build_routed
+    from racing_telemetry_pipeline_spark.sources.lake import Lake
+    from racing_telemetry_pipeline_spark.streaming.stream_pipeline import (
+        make_lake_batch_sink,
+        streaming_to_lake,
+    )
+
+    # streaming dedup keeps the FIRST arrival, batch keep-last the LAST;
+    # feeding an already-deduped input makes both stateless and the routed
+    # contents exactly comparable
+    clean_dir = str(tmp_path / "clean_raw")
+    dedup_keep_last(
+        add_ingest_ordinal(spark.read.parquet(raw_unit)), drop_ordinal=True
+    ).write.parquet(clean_dir)
+
+    lake_root = str(tmp_path / "slake")
+    q = streaming_to_lake(spark, clean_dir, lake_root)
+    q.awaitTermination(120)
+
+    lake = Lake(spark, lake_root)
+    got = spark.read.parquet(lake.table_path("routed_stream"))
+    want = _build_routed(spark, clean_dir, DEFAULTS, "builtin")
+
+    key = ["conv_id", "turn_idx", "route"]
+    g = got.groupBy("route").count().toPandas().set_index("route")["count"]
+    w = want.groupBy("route").count().toPandas().set_index("route")["count"]
+    assert g.sort_index().to_dict() == w.sort_index().to_dict()
+    # full key-level equality, not just counts
+    assert got.select(key).subtract(want.select(key)).count() == 0
+    assert want.select(key).subtract(got.select(key)).count() == 0
+
+    # replaying an already-committed batch id is a no-op
+    n_before = got.count()
+    committed = [
+        b
+        for b in lake._load_manifest()["stream_batches"]["routed_stream"]
+    ]
+    sink = make_lake_batch_sink(lake)
+    sink(want.limit(5), committed[0])
+    assert spark.read.parquet(lake.table_path("routed_stream")).count() == n_before
 
 
 def test_stateful_conversation_tracker(spark, raw_unit, oracle_unit):
