@@ -29,20 +29,25 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic fake media payload derived from a text column.
 
     Stands in for the real binary ingestion path; payload bytes are
-    md5(text) repeated, media metadata derived from the hash.
+    md5(text) repeated, media metadata derived from the md5-based 64-bit
+    hash (same hash DuckDB can compute — keeps the mm1 driver oracle in
+    lockstep, see queries/multimodal_q.py).
     """
     h = F.unhex(F.md5(F.col(text_col).cast("binary")))
+    h64 = F.conv(
+        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
     return (
         df.withColumn("payload", F.concat(h, h, h, h))
         .withColumn(
             "media_type",
             F.element_at(
                 F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav")),
-                (F.crc32(F.col(text_col).cast("binary")) % 3 + 1).cast("int"),
+                (h64 % 3 + 1).cast("int"),
             ),
         )
-        .withColumn("width", (F.crc32(F.col(text_col).cast("binary")) % 64 + 16).cast("int"))
-        .withColumn("height", (F.crc32(F.col(text_col).cast("binary")) % 48 + 16).cast("int"))
+        .withColumn("width", (h64 % 64 + 16).cast("int"))
+        .withColumn("height", (h64 % 48 + 16).cast("int"))
         .withColumn("n_bytes", F.length("payload").cast("long"))
     )
 

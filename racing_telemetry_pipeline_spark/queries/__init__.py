@@ -9,11 +9,27 @@ after sorting columns by name).
 
 from __future__ import annotations
 
-from . import log_ops, tpch, dedup_text, similarity, features, pipeline_queries
+from . import (
+    dedup_text,
+    features,
+    log_ops,
+    multimodal_q,
+    pipeline_queries,
+    similarity,
+    tpch,
+)
 
 
 def all_queries():
     out = {}
-    for mod in (log_ops, tpch, dedup_text, similarity, features, pipeline_queries):
+    for mod in (
+        log_ops,
+        tpch,
+        dedup_text,
+        similarity,
+        features,
+        multimodal_q,
+        pipeline_queries,
+    ):
         out.update(mod.QUERIES)
     return out

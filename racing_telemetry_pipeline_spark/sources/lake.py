@@ -157,17 +157,26 @@ class Lake:
         ids = self._load_manifest().get("stream_batches", {}).get(table, [])
         return int(batch_id) in ids
 
-    def mark_batch(self, table: str, batch_id: int) -> None:
+    def mark_batch(self, table: str, batch_id: int,
+                   partition_by: list[str] | None = None) -> None:
         """Record a committed micro-batch id AFTER its write succeeded.
         The sink writes each batch into its own batch_id partition with
         dynamic overwrite, so even a replay that raced this ledger (crash
         between write and mark) is idempotent — see
-        streaming.stream_pipeline.make_lake_batch_sink."""
+        streaming.stream_pipeline.make_lake_batch_sink.
+
+        Also registers the table's partition layout in the manifest (once)
+        so maintenance ops like ``compact()`` preserve the hive layout
+        instead of flattening the partition columns into data files."""
         with self._lock:
             m = self._load_manifest()
             ids = m.setdefault("stream_batches", {}).setdefault(table, [])
             if int(batch_id) not in ids:
                 ids.append(int(batch_id))
+            entry = m["tables"].setdefault(table, {})
+            if partition_by and not entry.get("partition_by"):
+                entry["partition_by"] = partition_by
+                entry["written_at"] = time.time()
             self._save_manifest(m)
 
     # -- io ---------------------------------------------------------------

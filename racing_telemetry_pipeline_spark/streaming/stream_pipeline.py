@@ -160,7 +160,7 @@ def make_lake_batch_sink(lake, table: str = "routed_stream"):
             .partitionBy("batch_id", "route")
             .parquet(lake.table_path(table))
         )
-        lake.mark_batch(table, batch_id)
+        lake.mark_batch(table, batch_id, partition_by=["batch_id", "route"])
 
     return sink
 

@@ -215,6 +215,21 @@ def test_foreachbatch_incremental_resume(spark, raw_unit, tmp_path):
     )
     assert dup_in_batch == 0
 
+    # maintenance: compacting the streaming table preserves the hive
+    # partition layout (the sink registered partition_by in the manifest)
+    # and every row
+    lake.compact("routed_stream", target_file_bytes=1 << 20)
+    after = spark.read.parquet(lake.table_path("routed_stream"))
+    assert after.count() == n_total
+    assert {"batch_id", "route"} <= set(after.columns)
+    import os as _os
+
+    assert any(
+        p.startswith("batch_id=")
+        for p in _os.listdir(lake.table_path("routed_stream"))
+        if not p.startswith(("_", "."))
+    )
+
 
 def test_stateful_conversation_tracker(spark, raw_unit, oracle_unit):
     from pyspark.sql import functions as F
