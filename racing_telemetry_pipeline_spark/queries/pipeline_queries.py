@@ -93,8 +93,31 @@ def pipe3_tool_aggregates(spark, sf_dir):
     return tool_call_frequency(routed)
 
 
+def pipe4_drift_methods(spark, sf_dir):
+    """Per-conv drift estimated by mean vs median vs Huber side-by-side
+    (reference compare_drift_methods analog). The Huber IRLS loop is not
+    SQL-expressible, so this is a rows-only driver entry; value-level
+    correctness is asserted against an independent pandas oracle in
+    tests/test_robust.py. Rounding keeps the output hash-stable."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import compare_drift_methods
+
+    routed = _routed_cached(spark, "builtin")
+    out = compare_drift_methods(routed, ts_col="ts_sync", dt_col="dt_sec")
+    return out.select(
+        "conv_id",
+        "n_samples",
+        F.round("drift_mean", 6).alias("drift_mean"),
+        F.round("drift_median", 6).alias("drift_median"),
+        F.round("drift_std", 6).alias("drift_std"),
+        F.round("drift_huber", 6).alias("drift_huber"),
+    )
+
+
 QUERIES = {
     "pipe1_routed": (pipe1_routed, None),
     "pipe2_monotonic_invariant": (pipe2_monotonic_invariant, None),
     "pipe3_tool_aggregates": (pipe3_tool_aggregates, None),
+    "pipe4_drift_methods": (pipe4_drift_methods, None),
 }

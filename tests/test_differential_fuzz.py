@@ -107,3 +107,108 @@ def test_random_query_differential(spark, duck, f_idx, g_idx, a_idx):
     a = _canon(got.toPandas())
     b = _canon(want)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- join + window grammar -------------------------------------------------
+
+JOIN_AGGS = [
+    (lambda: F.count("*").alias("n"), "count(*) AS n"),
+    (lambda: F.max("event_id").alias("max_id"), "max(event_id) AS max_id"),
+    (
+        lambda: F.round(
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double"), 4
+        ).alias("sum_v"),
+        "round(cast(sum(cast(value as decimal(24,6))) as double), 4) AS sum_v",
+    ),
+]
+
+WIN_EXPRS = [
+    # total order via event_id tiebreak (oracle-parity rule)
+    (
+        lambda: F.row_number(),
+        "row_number()",
+    ),
+    (
+        lambda: F.lag("event_id"),
+        "lag(event_id)",
+    ),
+    (
+        lambda: F.sum(F.col("event_id")),
+        "sum(event_id)",
+    ),
+]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    f_idx=st.integers(0, len(FILTERS) - 1),
+    a_idx=st.lists(st.integers(0, len(JOIN_AGGS) - 1), min_size=1, max_size=2,
+                   unique=True),
+)
+def test_random_broadcast_join_differential(spark, duck, f_idx, a_idx):
+    """Fact-to-dim broadcast join: the dim is a distinct-user aggregate of
+    the fact table itself, joined back and re-aggregated per bucket."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    col, pred_sql = FILTERS[f_idx]
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+        .withColumn("user_bucket", (F.col("user_events") % 5).cast("long"))
+        .select("user_id", "user_bucket")
+    )
+    got = (
+        ev.filter(col())
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("user_bucket")
+        .agg(*[JOIN_AGGS[i][0]() for i in a_idx])
+    )
+    aggs_sql = ", ".join(JOIN_AGGS[i][1] for i in a_idx)
+    sql = f"""
+    WITH dim AS (
+      SELECT user_id, cast(count(*) % 5 AS bigint) AS user_bucket
+      FROM events GROUP BY user_id
+    )
+    SELECT user_bucket, {aggs_sql}
+    FROM events e JOIN dim USING (user_id)
+    WHERE {pred_sql}
+    GROUP BY user_bucket
+    """
+    pd.testing.assert_frame_equal(
+        _canon(got.toPandas()), _canon(duck.execute(sql).df())
+    )
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w_idx=st.integers(0, len(WIN_EXPRS) - 1),
+    f_idx=st.integers(0, len(FILTERS) - 1),
+)
+def test_random_window_differential(spark, duck, w_idx, f_idx):
+    """Per-user ordered window with a TOTAL order (event_id tiebreak) —
+    checked via an order-insensitive aggregate of the window output."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    col, pred_sql = FILTERS[f_idx]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfn, wsql = WIN_EXPRS[w_idx]
+    got = (
+        ev.filter(col())
+        .withColumn("wv", wfn().over(w))
+        .agg(
+            F.count("wv").alias("n"),
+            F.sum(F.col("wv").cast("decimal(24,6)")).cast("long").alias("s"),
+        )
+    )
+    sql = f"""
+    SELECT count(wv) AS n, cast(sum(cast(wv as decimal(24,6))) as bigint) AS s
+    FROM (
+      SELECT {wsql} OVER (PARTITION BY user_id ORDER BY ts, event_id) AS wv
+      FROM events WHERE {pred_sql}
+    )
+    """
+    pd.testing.assert_frame_equal(
+        _canon(got.toPandas()), _canon(duck.execute(sql).df())
+    )
