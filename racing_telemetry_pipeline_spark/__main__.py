@@ -20,7 +20,11 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen", help="write deterministic synthetic transcripts")
-    g.add_argument("--scale", default="sf-unit", choices=["sf-unit", "sf-small", "sf-bench"])
+    g.add_argument(
+        "--scale",
+        default="sf-unit",
+        choices=["sf-unit", "sf-small", "sf-bench", "sf-scaling"],
+    )
     g.add_argument("--out", required=True)
     g.add_argument("--seed", type=int, default=42)
 
@@ -30,6 +34,26 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--parse-engine", default="pandas_udf", choices=["pandas_udf", "builtin"])
     r.add_argument("--no-resume", action="store_true")
     r.add_argument("--cores", type=int, default=None)
+
+    s = sub.add_parser(
+        "stream", help="drain a directory through the streaming route into the lake"
+    )
+    s.add_argument("--source", required=True)
+    s.add_argument("--lake", required=True)
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--cores", type=int, default=None)
+
+    c = sub.add_parser("compact", help="rewrite a lake table into target-sized files")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--table", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--cores", type=int, default=None)
+
+    q = sub.add_parser("query", help="run a named contract query (SURVEY.md §2)")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--cores", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -63,6 +87,51 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "stream":
+        from .session import get_spark
+        from .streaming.stream_pipeline import streaming_to_lake
+
+        spark = get_spark("rtps-stream", cores=args.cores)
+        qy = streaming_to_lake(
+            spark, args.source, args.lake, checkpoint=args.checkpoint
+        )
+        qy.awaitTermination()
+        from .sources.lake import Lake
+
+        batches = (
+            Lake(spark, args.lake)
+            ._load_manifest()
+            .get("stream_batches", {})
+            .get("routed_stream", [])
+        )
+        print(json.dumps({"lake": args.lake, "batches_committed": len(batches)}))
+        return 0
+
+    if args.cmd == "compact":
+        from .session import get_spark
+        from .sources.lake import Lake
+
+        spark = get_spark("rtps-compact", cores=args.cores)
+        lake = Lake(spark, args.lake)
+        n = lake.compact(args.table, target_file_bytes=args.target_mb * 1024 * 1024)
+        print(json.dumps({"table": args.table, "n_files": n}))
+        return 0
+
+    if args.cmd == "query":
+        from .queries import all_queries
+        from .session import get_spark
+
+        qs = all_queries()
+        if args.name not in qs:
+            print(json.dumps({"error": "unknown query",
+                              "available": sorted(qs)}))
+            return 2
+        spark = get_spark("rtps-query", cores=args.cores)
+        fn, _sql = qs[args.name]
+        df = fn(spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
         return 0
     return 1
 
