@@ -337,11 +337,9 @@ def _write_lineage(
         .reset_index()
         .assign(stage=stage_name, input_snapshot=input_snapshot)
     )
-    lake.write(
-        spark.createDataFrame(lineage),
-        f"lineage_{stage_name}",
-        input_snapshot=input_snapshot,
-    )
+    # one (file x route) row per written file — bounded at any scale, so
+    # these audit tables write driver-side (no Spark job fixed cost)
+    lake.write_small(lineage, f"lineage_{stage_name}", input_snapshot)
     # n_convs can't be summed across partitions exactly; the fan-out write
     # partitions by route and sorts by conv_id, so a conv appears in >=1
     # file partitions — report max-partition n_convs as a lower bound plus
@@ -355,8 +353,4 @@ def _write_lineage(
         )
         .reset_index()
     )
-    lake.write(
-        spark.createDataFrame(metrics),
-        f"metrics_{stage_name}",
-        input_snapshot=input_snapshot,
-    )
+    lake.write_small(metrics, f"metrics_{stage_name}", input_snapshot)

@@ -234,6 +234,42 @@ class Lake:
             self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
             writer.create()
 
+    def write_small(self, pdf, name: str, input_snapshot: str = "") -> str:
+        """Driver-side parquet write for TINY audit tables (lineage,
+        metrics): a pandas frame of at most a few thousand rows does not
+        justify a Spark job's fixed cost (plan + schedule + commit ~0.5-1s
+        each — measurable against the scaling-efficiency target at bench
+        scale, pure waste at any scale). The table stays a normal lake
+        parquet dir, Spark-readable via read().
+
+        Reference analog: driver-side stats JSON writes
+        (/root/reference/src/ingestion/ingest.py:296-299)."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.table_path(name)
+        tmp = path + "__tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(tmp, "part-00000.parquet"),
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+        with self._lock:
+            m = self._load_manifest()
+            m["tables"][name] = {
+                "snapshot_id": _fingerprint_dir(path),
+                "input_snapshot": input_snapshot,
+                "written_at": time.time(),
+                "partition_by": [],
+            }
+            self._save_manifest(m)
+        return path
+
     def read(self, name: str) -> DataFrame:
         if self.catalog:
             return self.spark.table(self._ident(name))
