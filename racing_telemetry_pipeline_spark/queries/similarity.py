@@ -426,6 +426,121 @@ SELECT qid, nid, cos_sim, rank FROM (
 """
 
 
+# --- k-means (Lloyd) refinement of the IVF centroids ---------------------------
+# sim6/sim8 seed cells from the first K vectors; a real index trains the
+# centroids. Two Lloyd iterations, pure DataFrame ops: assign = broadcast
+# centroid scoring (as sim6), update = element-wise mean via posexplode ->
+# per-(cell, dim) ORDER-INDEPENDENT decimal mean rounded to 6 dp (so both
+# engines produce bit-identical centroids) -> rebuild the array sorted by
+# dim. At 10^9 vectors each iteration is one broadcast-scored pass plus a
+# (K x dim)-sized aggregate — no shuffle of the corpus by cell needed.
+KMEANS_ITERS = 2
+
+
+def _kmeans_cells(spark, sf_dir, iters: int = KMEANS_ITERS):
+    e = _emb_double(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def assign(cents_df):
+        j = e.crossJoin(F.broadcast(cents_df))
+        cos = _dot(F.col("v"), F.col("cv")) / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+        )
+        return (
+            j.withColumn("cos_c", F.round(cos, 6))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("cos_c").desc(), F.col("cent_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(iters):
+        cells = assign(cents)
+        comp = cells.select("cent_id", F.posexplode("v").alias("d", "x"))
+        dim_mean = comp.groupBy("cent_id", "d").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                / F.count("x"),
+                6,
+            ).alias("cx")
+        )
+        cents = dim_mean.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                lambda s: s["cx"],
+            ).alias("cv")
+        )
+    return assign(cents)
+
+
+def sim9_kmeans_cells(spark, sf_dir):
+    """Per-cell stats after 2 Lloyd iterations over the IVF centroids."""
+    cells = _kmeans_cells(spark, sf_dir)
+    return cells.groupBy("cent_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.round(F.sum(F.col("cos_c").cast("decimal(24,6)")).cast("double"), 4)
+        .alias("sum_cos_to_centroid"),
+    )
+
+
+def _km_sql_iter(prev_cents: str, idx: int) -> str:
+    """One unrolled Lloyd iteration in DuckDB SQL: assign to ``prev_cents``
+    then emit refined centroids as cents{idx}."""
+    return f"""
+scored{idx} AS (
+  SELECT e.vec_id, e.label, e.v, c.cent_id,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+               6) AS cos_c
+  FROM e CROSS JOIN {prev_cents} c
+), cells{idx} AS (
+  SELECT * FROM scored{idx}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) = 1
+), comp{idx} AS (
+  SELECT cent_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM cells{idx}
+), dimmean{idx} AS (
+  SELECT cent_id, d,
+         round(cast(sum(cast(x AS decimal(28,10))) AS double) / count(x), 6) AS cx
+  FROM comp{idx} GROUP BY cent_id, d
+), cents{idx} AS (
+  SELECT cent_id, list(cx ORDER BY d) AS cv FROM dimmean{idx} GROUP BY cent_id
+)"""
+
+
+SIM9_SQL = (
+    f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),"""
+    + _km_sql_iter("cents0", 1).lstrip()
+    + ","
+    + _km_sql_iter("cents1", 2)
+    + f""",
+final_scored AS (
+  SELECT e.vec_id, e.label, c.cent_id,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+               6) AS cos_c
+  FROM e CROSS JOIN cents2 c
+), final_cells AS (
+  SELECT * FROM final_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) = 1
+)
+SELECT cent_id, count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
+       round(cast(sum(cast(cos_c AS decimal(24,6))) AS double), 4) AS sum_cos_to_centroid
+FROM final_cells GROUP BY cent_id
+"""
+)
+
+
 QUERIES = {
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
     "sim2_lsh_signatures": (sim2_lsh_signatures, SIM2_SQL),
@@ -435,4 +550,5 @@ QUERIES = {
     "sim6_ivf_assign": (sim6_ivf_assign, SIM6_SQL),
     "sim7_ann_topk": (sim7_ann_topk, SIM7_SQL),
     "sim8_ivf_topk": (sim8_ivf_topk, SIM8_SQL),
+    "sim9_kmeans_cells": (sim9_kmeans_cells, SIM9_SQL),
 }

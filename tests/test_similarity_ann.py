@@ -57,6 +57,33 @@ def test_sim8_recall_vs_exact(spark):
     assert recall >= 0.60, f"sim8 recall {recall:.3f} too low"
 
 
+def test_kmeans_refinement_improves_objective(spark):
+    """Two Lloyd iterations must not worsen the clustering objective:
+    total cosine-to-assigned-centroid >= the seeded (first-K) assignment,
+    and the cells still partition the corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from racing_telemetry_pipeline_spark.queries.similarity import (
+        _ivf_scored,
+        _kmeans_cells,
+    )
+
+    seeded = (
+        _ivf_scored(spark, SF)
+        .filter(F.col("rn") == 1)
+        .agg(F.sum("cos_c").alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    refined_cells = _kmeans_cells(spark, SF)
+    refined = refined_cells.agg(
+        F.sum("cos_c").alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    assert refined["n"] == seeded["n"]  # every vector in exactly one cell
+    assert refined["s"] >= seeded["s"] - 1e-6
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert refined["n"] == n_vecs
+
+
 def test_sim7_ranks_are_dense_topk(spark):
     rows = sim7_ann_topk(spark, SF).collect()
     by_q: dict[int, list[int]] = {}
