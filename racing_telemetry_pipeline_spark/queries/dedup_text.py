@@ -426,50 +426,20 @@ def _candidate_edges(spark, sf_dir):
     )
 
 
-def dd6_dedup_clusters(spark, sf_dir):
-    edges = _candidate_edges(spark, sf_dir).cache()
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
-    # min-label propagation to fixpoint; localCheckpoint() truncates the
-    # lineage every round — without it Catalyst re-analyzes an
-    # exponentially growing plan (measured 1.2s -> 22s by iteration 4)
-    labels = labels.localCheckpoint()
-    for _ in range(64):
-        neigh = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        updated = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-        ).localCheckpoint()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
+def _cluster_rollup(labels):
     return labels.groupBy("cluster_id").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+def dd6_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters via min-label propagation (operators/graph.py;
+    property-tested against a union-find oracle in tests/test_graph_cc.py)."""
+    from ..operators.graph import cc_minlabel
+
+    return _cluster_rollup(cc_minlabel(_candidate_edges(spark, sf_dir)))
 
 
 DD6_SQL = f"""
@@ -502,82 +472,21 @@ FROM labels GROUP BY cluster_id
 
 
 def dd7_cc_bigstar(spark, sf_dir):
-    """Connected components via alternating large-star / small-star
-    rounds (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") — the 10^12-edge scale path the dd6 min-label loop is not:
-    each round is two co-partitioned groupBy/join pairs on node id, the
-    edge set contracts toward star graphs in O(log^2 n) rounds, and no
-    step materializes a neighborhood larger than a hash-agg group.
+    """Near-dup clusters via alternating large-star / small-star rounds
+    (operators/graph.py cc_bigstar) — the 10^12-edge scale path: each
+    round is two co-partitioned groupBy/join pairs on node id and the
+    edge set contracts in O(log^2 n) rounds, where dd6's min-label loop
+    needs O(diameter) rounds carrying a full label table.
 
     Output contract and oracle are identical to dd6 (same clusters from
     the same blocked candidate edges); tests/test_cc_bigstar.py asserts
-    node-level equality with the min-label result.
+    node-level equality with the min-label result, and
+    tests/test_graph_cc.py property-tests both kernels against a
+    union-find oracle on random graphs.
     """
-    edges = _candidate_edges(spark, sf_dir)
-    # symmetric edge list, self-loops dropped
-    e = (
-        edges.union(edges.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    from ..operators.graph import cc_bigstar
 
-    def _min_neighbor(df):
-        # m(u) = min(neighbors(u) + {u}); same partitioning as the join
-        return df.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m")
-        )
-
-    for _round in range(32):
-        # large-star: attach every LARGER neighbor to u's min
-        m = _min_neighbor(e)
-        large = (
-            e.join(m, "src")
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        )
-        ls = (
-            large.union(large.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
-        )
-        # small-star: attach every smaller-or-equal neighbor to the min
-        m2 = _min_neighbor(ls)
-        small = (
-            ls.join(m2, "src")
-            .filter(F.col("dst") <= F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(m2.select(F.col("src"), F.col("m").alias("dst")))
-        )
-        e_next = (
-            small.union(small.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
-        )
-        # converged when the symmetric edge set stops changing
-        if (
-            e_next.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(e_next).limit(1).count() == 0
-        ):
-            e = e_next
-            break
-        e = e_next
-
-    # at the fixpoint every node is directly connected to its component
-    # min; labels = min over remaining neighbors+self
-    labels = _min_neighbor(e).select(
-        F.col("src").alias("doc_id"), F.col("m").alias("cluster_id")
-    )
-    return labels.groupBy("cluster_id").agg(
-        F.count("*").alias("n_docs"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
-    )
+    return _cluster_rollup(cc_bigstar(_candidate_edges(spark, sf_dir)))
 
 
 QUERIES = {
