@@ -366,6 +366,28 @@ class Lake:
             if f.endswith(".parquet")
         )
 
+    def vacuum_stream_batches(self, table: str, keep_batches: int) -> int:
+        """Retention for an append-heavy streaming table: drop the oldest
+        ``batch_id=<n>`` partitions beyond ``keep_batches`` and trim the
+        ledger to match (Iceberg's expire_snapshots analog). Returns the
+        number of batch partitions removed. Dropping oldest-first keeps
+        the retained suffix contiguous, so a checkpoint replay can never
+        hit a vacuumed batch id."""
+        import shutil
+
+        with self._lock:
+            m = self._load_manifest()
+            ids = sorted(m.get("stream_batches", {}).get(table, []))
+            drop = ids[:-keep_batches] if keep_batches > 0 else ids
+            path = self.table_path(table)
+            for b in drop:
+                shutil.rmtree(os.path.join(path, f"batch_id={b}"),
+                              ignore_errors=True)
+            if drop:
+                m["stream_batches"][table] = ids[len(drop):]
+                self._save_manifest(m)
+            return len(drop)
+
     def register_sink_aliases(
         self, table: str, partition_col: str, values: list[str], prefix: str = "sink_"
     ) -> None:

@@ -230,6 +230,25 @@ def test_foreachbatch_incremental_resume(spark, raw_unit, tmp_path):
         if not p.startswith(("_", "."))
     )
 
+    # retention: vacuum drops the oldest batch partitions and trims the
+    # ledger to the retained contiguous suffix
+    all_ids = sorted(lake._load_manifest()["stream_batches"]["routed_stream"])
+    assert len(all_ids) >= 3
+    dropped = lake.vacuum_stream_batches("routed_stream", keep_batches=2)
+    assert dropped == len(all_ids) - 2
+    kept = lake._load_manifest()["stream_batches"]["routed_stream"]
+    assert kept == all_ids[-2:]
+    on_disk = {
+        int(p.split("=")[1])
+        for p in _os.listdir(lake.table_path("routed_stream"))
+        if p.startswith("batch_id=")
+    }
+    # an availableNow drain can end with an EMPTY final micro-batch that
+    # has a ledger entry but no partition dir, so disk is a subset of the
+    # kept ids — and must not intersect the dropped ids
+    assert on_disk <= set(kept)
+    assert not on_disk & set(all_ids[:-2]), "vacuum left dropped partitions"
+
 
 def test_stateful_conversation_tracker(spark, raw_unit, oracle_unit):
     from pyspark.sql import functions as F
