@@ -226,8 +226,81 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --- Q6: forecast revenue change (pure pushdown filter + single agg) ---------
+def q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC)
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(cast(sum(cast(l_extendedprice * l_discount as decimal(24,6))) as double), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= timestamp '1997-01-01' AND l_shipdate < timestamp '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24
+"""
+
+
+# --- Q18-style: large-volume customers (agg -> having -> join back) ----------
+Q18_MIN_QTY = 250
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"), 2)
+             .alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name"),
+            F.col("o_orderkey"),
+            F.col("o_orderdate"),
+            F.col("total_qty"),
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey,
+         round(cast(sum(cast(l_quantity as decimal(24,6))) as double), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(cast(sum(cast(l_quantity as decimal(24,6))) as double), 2) > {Q18_MIN_QTY}
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "o1_topk_orders_per_priority": (o1_topk_orders_per_priority, O1_SQL),
