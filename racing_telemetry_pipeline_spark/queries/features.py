@@ -323,21 +323,28 @@ GROUP BY user_id
 # --- A3: overall drift rollup (second-level agg over A1) ------------------------
 # ref: /root/reference/src/transform/drift.py:166-194
 def a3_drift_rollup(spark, sf_dir):
+    # rollup-of-rollup medians round at 7 dp, one digit FINER than the
+    # 6-dp inputs from a1: with an even window count the interpolated
+    # median of two 6-dp values lands exactly on a 6-dp half-boundary
+    # (x.xxxxxx5), where Spark (decimal HALF_UP) and DuckDB (binary)
+    # round apart — seen live at sf0.1. At 7 dp the same value sits ON
+    # the grid, so rounding is an identity on the shared double and can
+    # never split.
     hourly = a1_hourly_stats(spark, sf_dir)
     return hourly.groupBy("user_id").agg(
         F.count("*").alias("n_windows"),
-        F.round(F.expr("percentile(median_value, 0.5)"), 6).alias(
+        F.round(F.expr("percentile(median_value, 0.5)"), 7).alias(
             "median_of_medians"
         ),
-        F.round(F.expr("percentile(std_value, 0.5)"), 6).alias("median_std"),
+        F.round(F.expr("percentile(std_value, 0.5)"), 7).alias("median_std"),
         F.sum("n").alias("n_samples"),
     )
 
 
 A3_SQL = f"""
 SELECT user_id, count(*) AS n_windows,
-       round(quantile_cont(median_value, 0.5), 6) AS median_of_medians,
-       round(quantile_cont(std_value, 0.5), 6) AS median_std,
+       round(quantile_cont(median_value, 0.5), 7) AS median_of_medians,
+       round(quantile_cont(std_value, 0.5), 7) AS median_std,
        cast(sum(n) AS bigint) AS n_samples
 FROM ({A1_SQL}) GROUP BY user_id
 """
