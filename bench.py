@@ -62,7 +62,7 @@ def worker_queries(sf_dir: str, cpus: int, out: str) -> None:
     """Time each headline query, MIN over two passes (the host's noise
     makes single-shot timings swing ~40%); write timings incrementally so
     a crash mid-list still leaves the completed entries on disk."""
-    from racing_telemetry_pipeline_spark.queries import all_queries
+    from racing_telemetry_pipeline_spark.queries import all_queries_full as all_queries
     from racing_telemetry_pipeline_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=cpus)

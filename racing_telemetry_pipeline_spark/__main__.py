@@ -120,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "query":
-        from .queries import all_queries
+        from .queries import all_queries_full as all_queries
         from .session import get_spark
 
         qs = all_queries()

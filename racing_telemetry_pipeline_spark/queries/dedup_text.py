@@ -31,7 +31,7 @@ MINHASH_COEFFS = [
     (32452867, 15485867),
 ]
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # bit 63 is the int64 sign bit (contributes -2^63)
 
 STOPWORDS = "the|a|of|to|in|is|and"
 
@@ -253,7 +253,18 @@ GROUP BY 1, 2
 
 
 # --- SimHash ---------------------------------------------------------------
-def dd5_simhash(spark, sf_dir):
+def _bit_weight(j: int) -> int:
+    """Signed-int64 contribution of simhash bit j (bit 63 = the sign bit)."""
+    return -(2**63) if j == 63 else 2**j
+
+
+def _simhash_vals(spark, sf_dir):
+    """(doc_id, simhash): 64-bit SimHash over per-word md5-derived hashes.
+
+    The j-th bit of the signature is sign(sum over words of cnt * (+1 if
+    bit j of hash(word) else -1)); the 64 bits pack into ONE signed int64
+    (bit 63 contributes -2^63), which both engines reconstruct with
+    identical two's-complement arithmetic."""
     docs = t(spark, sf_dir, "documents")
     tok = (
         _words(docs)
@@ -271,17 +282,27 @@ def dd5_simhash(spark, sf_dir):
     agg = tok.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") >= 0, F.lit(2**j).cast("long")).otherwise(
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(_bit_weight(j)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sim = bit if sim is None else sim + bit
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-DD5_SQL = (
+def dd5_simhash(spark, sf_dir):
+    return _simhash_vals(spark, sf_dir)
+
+
+def _bit_weight_sql(j: int) -> str:
+    # -2^63 cannot be written as a single literal (parsers read it as
+    # -(2^63), which overflows); (-max - 1) is the portable spelling
+    return "(-9223372036854775807 - 1)" if j == 63 else f"{2**j}::bigint"
+
+
+_SIMHASH_SQL = (
     "SELECT doc_id, "
     + " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN {2**j}::bigint ELSE 0::bigint END)"
+        f"(CASE WHEN s{j} >= 0 THEN {_bit_weight_sql(j)} ELSE 0::bigint END)"
         for j in range(SIMHASH_BITS)
     )
     + " AS simhash FROM (SELECT doc_id, "
@@ -295,6 +316,78 @@ DD5_SQL = (
       GROUP BY doc_id, word
     ) GROUP BY doc_id)"""
 )
+
+DD5_SQL = _SIMHASH_SQL
+
+
+# --- SimHash Hamming near-dup pairs ------------------------------------------
+# The SimHash *consumer* (what dd4 is to dd3): near-dup pairs by Hamming
+# distance over the 64-bit signature. Blocking: 4 bands x 16 bits — by
+# pigeonhole, any pair with hamming <= 3 matches EXACTLY on at least one
+# band, so the band equi-join is a complete (not approximate) candidate
+# generator for the <= 3 threshold; exact bit_count(xor) verifies each
+# candidate. At 10^12 docs each band key has 2^16 values per band over a
+# near-uniform hash, and hot keys stay bounded because near-identical
+# boilerplate is already removed upstream by dd1/dd6.
+HAMMING_MAX = 3
+SIM_BAND_BITS = 16
+N_SIM_BANDS = SIMHASH_BITS // SIM_BAND_BITS
+
+
+def dd8_simhash_hamming_pairs(spark, sf_dir):
+    sim = _simhash_vals(spark, sf_dir)
+    bands = None
+    for b_ in range(N_SIM_BANDS):
+        part = sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(b_).alias("band"),
+            F.shiftright("simhash", SIM_BAND_BITS * b_)
+            .bitwiseAND(F.lit(65535))
+            .alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair can collide in >1 band
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+DD8_SQL = f"""
+WITH sim AS ({_SIMHASH_SQL}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {b} AS band,"
+      f" ((simhash >> {SIM_BAND_BITS * b}) & 65535) AS key FROM sim"
+      for b in range(N_SIM_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cast(bit_count(xor(sh_a, sh_b)) AS integer) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+"""
 
 
 # --- text analysis -----------------------------------------------------------
@@ -401,10 +494,10 @@ FROM documents GROUP BY lang
 
 # --- near-dup clustering: connected components over candidate pairs ----------
 # The dedup endgame: cluster near-duplicate docs and elect a canonical id
-# (min doc_id per component). Spark side: iterative min-label propagation
-# to a fixpoint (driver loop over the candidate-pair edge set, which the
-# shingle blocking already bounds); oracle side: transitive closure via a
-# DuckDB recursive CTE. Both converge to the same deterministic fixpoint.
+# (min doc_id per component). Spark side: distributed connected components
+# (operators/graph.py) over the candidate-pair edge set, which the shingle
+# blocking already bounds; oracle side: transitive closure via a DuckDB
+# recursive CTE. Both converge to the same deterministic fixpoint.
 MIN_SHARED_SHINGLES = 3
 
 
@@ -435,11 +528,17 @@ def _cluster_rollup(labels):
 
 
 def dd6_dedup_clusters(spark, sf_dir):
-    """Near-dup clusters via min-label propagation (operators/graph.py;
-    property-tested against a union-find oracle in tests/test_graph_cc.py)."""
-    from ..operators.graph import cc_minlabel
+    """Near-dup clusters. Default kernel (round-3 change): the alternating
+    large-star / small-star rounds of operators/graph.py cc_bigstar — the
+    O(log^2 n)-round scale path — so a user reaching for "the" dedup
+    clustering op gets the kernel that survives 10^12 edges. cc_minlabel
+    (O(diameter) rounds) remains as the independently property-tested
+    alternative; tests/test_cc_bigstar.py asserts node-level equality of
+    the two on the real corpus, and tests/test_graph_cc.py property-tests
+    both against a union-find oracle."""
+    from ..operators.graph import cc_bigstar
 
-    return _cluster_rollup(cc_minlabel(_candidate_edges(spark, sf_dir)))
+    return _cluster_rollup(cc_bigstar(_candidate_edges(spark, sf_dir)))
 
 
 DD6_SQL = f"""
@@ -473,16 +572,12 @@ FROM labels GROUP BY cluster_id
 
 def dd7_cc_bigstar(spark, sf_dir):
     """Near-dup clusters via alternating large-star / small-star rounds
-    (operators/graph.py cc_bigstar) — the 10^12-edge scale path: each
-    round is two co-partitioned groupBy/join pairs on node id and the
-    edge set contracts in O(log^2 n) rounds, where dd6's min-label loop
-    needs O(diameter) rounds carrying a full label table.
-
-    Output contract and oracle are identical to dd6 (same clusters from
-    the same blocked candidate edges); tests/test_cc_bigstar.py asserts
-    node-level equality with the min-label result, and
-    tests/test_graph_cc.py property-tests both kernels against a
-    union-find oracle on random graphs.
+    (operators/graph.py cc_bigstar): each round is two co-partitioned
+    groupBy/join pairs on node id and the edge set contracts in
+    O(log^2 n) rounds. Since round 3 this is also dd6's default kernel,
+    so this entry is redundant with dd6 and rotates out of the curated
+    driver window (still exercised by tests/test_cc_bigstar.py and
+    property-tested vs a union-find oracle in tests/test_graph_cc.py).
     """
     from ..operators.graph import cc_bigstar
 
@@ -495,6 +590,7 @@ QUERIES = {
     "dd3_minhash_signatures": (dd3_minhash_signatures, DD3_SQL),
     "dd4_minhash_band_pairs": (dd4_minhash_band_pairs, DD4_SQL),
     "dd5_simhash": (dd5_simhash, DD5_SQL),
+    "dd8_simhash_hamming_pairs": (dd8_simhash_hamming_pairs, DD8_SQL),
     "tx1_language_id": (tx1_language_id, TX1_SQL),
     "tx2_quality_score": (tx2_quality_score, TX2_SQL),
     "tx3_token_stats": (tx3_token_stats, TX3_SQL),

@@ -22,8 +22,48 @@ N_QUERY = 20  # vec_ids < N_QUERY are the query set
 TOP_K = 3
 
 # deterministic pseudo-random hyperplanes: sign of sum over dims of
-# weight(i, d) * x_d with weight = ((1103515245 * (d + 64 * i) + 12345) % 9973) - 4986
+# weight(i, d) * x_d. Weight family (round-3 rework): a 2-round
+# multiply-xor-shift mix of k = d + 64*i + 1,
+#   h1 = (k * 2654435761) % 1000003
+#   w  = ((h1 xor (h1 >> 7)) * 48271) % 9973 - 4986
+# — SQL-expressible in both engines (xor/>>/% only), and unlike the old
+# single affine LCG its plane vectors are decorrelated: an affine-in-k
+# family makes every plane an arithmetic progression shifted by a
+# constant, so sign bits correlate across planes and buckets stop
+# splitting as planes are added (measured max-bucket at 12 planes on a
+# 4k isotropic corpus: 900 affine vs 358 mixed; tests/test_ann_widths.py
+# locks the ~2x-per-plane shrink).
+#
+# DEFAULT widths (toy-sized, matched to the tiny test corpora so the DuckDB
+# oracles stay readable). They are PARAMETERS, not structure: every Spark
+# path below takes n_planes / n_bands / planes_per_band / centroid-count
+# arguments, and ``ann_widths(n_vectors)`` picks production values that keep
+# the expected bucket size near a target as the corpus grows (each added
+# plane per band halves the expected bucket: tests/test_ann_widths.py proves
+# this on a 4k-vector fixture while holding recall).
 N_PLANES = 6
+
+
+def ann_widths(n_vectors: int, target_bucket: int = 1024, n_bands: int = 3) -> dict:
+    """Index widths for a corpus of ``n_vectors``: per band the key space
+    is 2^planes_per_band buckets, so planes_per_band = ceil(log2(n /
+    target_bucket)) keeps the expected bucket near ``target_bucket`` rows
+    (10^9 vectors, 1k target -> 20 planes/band, 60 planes total); IVF
+    centroid count grows as sqrt(n) (10^9 -> ~32k ~ the 2^16 the sim8
+    docstring cites), past IVF_BROADCAST_MAX_K the two-level assignment
+    path below avoids broadcasting the centroid table altogether."""
+    import math
+
+    ppb = max(
+        PLANES_PER_BAND,
+        math.ceil(math.log2(max(n_vectors / target_bucket, 2.0))),
+    )
+    return {
+        "n_bands": n_bands,
+        "planes_per_band": ppb,
+        "n_planes": n_bands * ppb,
+        "n_centroids": max(N_CENTROIDS, int(round(math.sqrt(n_vectors)))),
+    }
 
 
 def _emb_double(spark, sf_dir):
@@ -81,19 +121,19 @@ SELECT qid, nid, cos_sim, rank FROM (
 def _plane_weight(i: int):
     # weight expression for plane i as a function of dim index d (0-based)
     def w(d):
-        return (
-            (F.lit(1103515245).cast("long") * (d.cast("long") + 64 * i) + 12345) % 9973
-            - 4986
-        ).cast("double")
+        k = d.cast("long") + F.lit(64 * i + 1)
+        h1 = (k * F.lit(2654435761)) % F.lit(1000003)
+        h2 = (h1.bitwiseXOR(F.shiftright(h1, 7)) * F.lit(48271)) % F.lit(9973)
+        return (h2 - 4986).cast("double")
 
     return w
 
 
-def sim2_lsh_signatures(spark, sf_dir):
-    """Random-hyperplane LSH signature per vector (the ANN bucketing key)."""
-    e = _emb_double(spark, sf_dir)
+def lsh_signatures(e, n_planes: int = N_PLANES):
+    """Random-hyperplane LSH signature over an (vec_id, label, v) frame —
+    the width-parameterized core behind sim2."""
     sig = None
-    for i in range(N_PLANES):
+    for i in range(n_planes):
         w = _plane_weight(i)
         # proj_i = sum_d weight(i,d) * v[d]  — rounded to 6 dp before the
         # sign test so cross-engine sum-order ulps cannot flip a sign
@@ -111,6 +151,11 @@ def sim2_lsh_signatures(spark, sf_dir):
     return e.select("vec_id", "label", sig.cast("long").alias("lsh_bucket"))
 
 
+def sim2_lsh_signatures(spark, sf_dir):
+    """Random-hyperplane LSH signature per vector (the ANN bucketing key)."""
+    return lsh_signatures(_emb_double(spark, sf_dir))
+
+
 SIM2_SQL = f"""
 SELECT vec_id, label,
        cast({' + '.join(
@@ -119,7 +164,9 @@ SELECT vec_id, label,
 FROM (
   SELECT vec_id, label,
          {', '.join(
-             f"(SELECT sum(x * (((1103515245 * ((d - 1) + 64 * {i}) + 12345) % 9973 - 4986)::double))"
+             f"(SELECT sum(x * (((xor(((d - 1 + {64 * i + 1}) * 2654435761) % 1000003,"
+             f" (((d - 1 + {64 * i + 1}) * 2654435761) % 1000003) >> 7)"
+             f" * 48271) % 9973 - 4986)::double))"
              f" FROM (SELECT unnest(embedding::DOUBLE[]) AS x,"
              f" generate_subscripts(embedding, 1) AS d)) AS proj{i}"
              for i in range(N_PLANES))}
@@ -181,18 +228,19 @@ N_BANDS = 3
 PLANES_PER_BAND = 2  # N_PLANES == N_BANDS * PLANES_PER_BAND
 
 
-def _banded_keys(sig):
-    """Explode a 6-bit signature into (vec_id, band, key) rows: band b's key
-    is bits [2b, 2b+1] of the signature (2 planes per band)."""
+def _banded_keys(sig, n_bands: int = N_BANDS, planes_per_band: int = PLANES_PER_BAND):
+    """Explode a signature into (vec_id, band, key) rows: band b's key is
+    bits [ppb*b, ppb*(b+1)) of the signature — 2^ppb possible keys per
+    band, so each added plane per band halves the expected bucket size."""
+    width = 2**planes_per_band
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                (F.floor(F.col("lsh_bucket") / F.lit(4**b)).cast("long") % 4).alias(
-                    "key"
-                ),
+                (F.floor(F.col("lsh_bucket") / F.lit(width**b)).cast("long") % width)
+                .alias("key"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return sig.select("vec_id", F.explode(bands).alias("bk")).select(
@@ -260,9 +308,23 @@ def sim7_ann_topk(spark, sf_dir):
     Reference-capability analog: broadcast lookup enrich at scale
     (/root/reference/src/transform/position.py:40-57) — here the "lookup"
     is the LSH bucket index."""
+    return ann_topk(spark, sf_dir)
+
+
+def ann_topk(
+    spark,
+    sf_dir,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    n_query: int = N_QUERY,
+    top_k: int = TOP_K,
+):
+    """Width-parameterized LSH-bucketed ANN core behind sim7; production
+    widths come from ``ann_widths(n_vectors)``."""
     e = _emb_double(spark, sf_dir)
-    banded = _banded_keys(sim2_lsh_signatures(spark, sf_dir))
-    q = banded.filter(F.col("vec_id") < N_QUERY).select(
+    sig = lsh_signatures(e, n_planes=n_bands * planes_per_band)
+    banded = _banded_keys(sig, n_bands=n_bands, planes_per_band=planes_per_band)
+    q = banded.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("qid"), "band", "key"
     )
     cand = (
@@ -283,7 +345,7 @@ def sim7_ann_topk(spark, sf_dir):
             Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
         ),
     )
-    return ranked.filter(F.col("rank") <= TOP_K).select("qid", "nid", "cos_sim", "rank")
+    return ranked.filter(F.col("rank") <= top_k).select("qid", "nid", "cos_sim", "rank")
 
 
 SIM7_SQL = f"""
@@ -372,9 +434,10 @@ def sim8_ivf_topk(spark, sf_dir):
     the vectors assigned to its 2 nearest centroid cells — the second
     bucketed retrieval path (sim7 is the LSH one). Cells partition the
     corpus, so probe-join candidates are already unique; no distinct
-    needed. At scale the centroid table stays broadcast-size (K ~ 2^16 for
-    10^9 vectors) while the corpus-side join is a plain shuffle on
-    cent_id."""
+    needed. At scale K grows as sqrt(n) (ann_widths) and past
+    IVF_BROADCAST_MAX_K the assignment switches to the two-level
+    ``ivf_assign`` path below, which never broadcasts the full centroid
+    table; the corpus-side join stays a plain shuffle on cent_id."""
     scored = _ivf_scored(spark, sf_dir)
     cells = scored.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("nid"), "cent_id", F.col("v").alias("nv")
@@ -424,6 +487,89 @@ SELECT qid, nid, cos_sim, rank FROM (
   FROM pairs
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --- IVF assignment at scale: two-level coarse->fine dispatch ------------------
+# sim6/sim8's flat assignment broadcasts the whole centroid table — right
+# up to a few thousand centroids, wrong at the K ~ sqrt(n) a 10^9-vector
+# index needs (ann_widths: ~32k centroids x dim doubles won't broadcast).
+# ``ivf_assign`` dispatches: past IVF_BROADCAST_MAX_K it goes two-level —
+# (1) broadcast only ~sqrt(K) COARSE centroids, (2) map fine centroids and
+# vectors each to their nearest coarse cell (two tiny broadcast scorings),
+# (3) equi-join vectors to fine centroids ON coarse_id (a plain shuffle
+# join that never materializes all K centroids on any executor), (4) best
+# fine centroid per vector. The coarse level is a partition of the fine
+# set, so for cluster-shaped data the two-level answer agrees with flat
+# assignment (tests/test_ann_widths.py measures >= 90% agreement and
+# asserts the fine join is NOT a broadcast join).
+IVF_BROADCAST_MAX_K = 4096
+
+
+def _best_by_cos(scored, part_col: str, id_col: str):
+    rn = F.row_number().over(
+        Window.partitionBy(part_col).orderBy(F.col("cos_c").desc(), F.col(id_col))
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+
+def ivf_assign_flat(e, cents):
+    """(vec_id, cent_id, cos_c): nearest centroid by broadcast scoring."""
+    j = e.select("vec_id", "v").crossJoin(F.broadcast(cents))
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = j.withColumn("cos_c", F.round(cos, 6))
+    return _best_by_cos(scored, "vec_id", "cent_id").select(
+        "vec_id", "cent_id", "cos_c"
+    )
+
+
+def ivf_assign_two_level(e, cents, coarse_k: int):
+    """(vec_id, cent_id, cos_c) without ever broadcasting the full centroid
+    table. Convention: ``cents`` has (cent_id, cv) with cent_id in [0, K);
+    the coarse level is cent_id < coarse_k (any fixed subset works — the
+    coarse cells only need to partition the fine set deterministically)."""
+    coarse = cents.filter(F.col("cent_id") < coarse_k).select(
+        F.col("cent_id").alias("coarse_id"), F.col("cv").alias("coarse_v")
+    )
+
+    def to_coarse(df, id_col, vec_col):
+        j = df.crossJoin(F.broadcast(coarse))
+        cos = _dot(F.col(vec_col), F.col("coarse_v")) / (
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+            * F.sqrt(_dot(F.col("coarse_v"), F.col("coarse_v")))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.round(cos, 6).desc(), F.col("coarse_id")
+            )
+        )
+        return j.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            id_col, vec_col, "coarse_id"
+        )
+
+    cent2coarse = to_coarse(cents, "cent_id", "cv")
+    v2coarse = to_coarse(e.select("vec_id", "v"), "vec_id", "v")
+    # the K-sized side arrives via a SHUFFLE on coarse_id — hinted so AQE
+    # cannot "helpfully" broadcast it in small tests and hide the scale shape
+    cand = v2coarse.join(cent2coarse.hint("shuffle_hash"), "coarse_id")
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = cand.withColumn("cos_c", F.round(cos, 6))
+    return _best_by_cos(scored, "vec_id", "cent_id").select(
+        "vec_id", "cent_id", "cos_c"
+    )
+
+
+def ivf_assign(e, cents, k: int, coarse_k: int | None = None):
+    """Nearest-centroid assignment, dispatched on centroid count: flat
+    broadcast scoring up to IVF_BROADCAST_MAX_K, two-level beyond."""
+    import math
+
+    if k <= IVF_BROADCAST_MAX_K:
+        return ivf_assign_flat(e, cents)
+    return ivf_assign_two_level(e, cents, coarse_k or math.isqrt(k))
 
 
 # --- k-means (Lloyd) refinement of the IVF centroids ---------------------------

@@ -43,7 +43,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
 
-    import __spark_entry__ as entry
+    # the FULL registry (curated driver window + rotated entries), so a
+    # rotation out of the 50-row driver window never loses local verification
+    from racing_telemetry_pipeline_spark.queries import all_queries_full
     from racing_telemetry_pipeline_spark.session import get_spark
 
     spark = get_spark("check_oracle", cores=16, shuffle_partitions=16)
@@ -53,8 +55,9 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    full = all_queries_full()
+    qs = {name: fn for name, (fn, _sql) in full.items()}
+    oracles = {name: sql for name, (_fn, sql) in full.items() if sql is not None}
     fails, passes, skipped = [], [], []
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
