@@ -67,17 +67,63 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
     }
 
 
-def decode_image_batch(df: DataFrame) -> DataFrame:
-    """mapInPandas decode/feature-extract stage (Arrow batches of bytes)."""
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _decode_pil(payload: bytes, media_type: str) -> dict:
+    """Real image decode via PIL (only reachable where PIL is installed):
+    mean luma over the grayscale plane, sharpness as the mean gradient
+    magnitude. Undecodable bytes degrade to is_decodable=False rather than
+    failing the task."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    if not media_type.startswith("image/"):
+        return _decode_stub(payload, media_type)
+    try:
+        arr = (
+            np.asarray(Image.open(BytesIO(payload)).convert("L"), dtype=np.float64)
+            / 255.0
+        )
+        gy, gx = np.gradient(arr)
+        return {
+            "mean_luma": float(arr.mean()),
+            "sharpness": float(np.hypot(gx, gy).mean()),
+            "is_decodable": True,
+        }
+    except Exception:
+        return {"mean_luma": float("nan"), "sharpness": float("nan"),
+                "is_decodable": False}
+
+
+def _pick_decoder():
+    """Auto-upgrade: the deterministic stub in lib-less containers (this
+    sandbox), the real PIL kernel wherever PIL is importable on the
+    executors. The Spark-side plumbing is identical either way."""
+    return _decode_pil if _pil_available() else _decode_stub
+
+
+def decode_image_batch(df: DataFrame, decoder=None) -> DataFrame:
+    """mapInPandas decode/feature-extract stage (Arrow batches of bytes).
+
+    ``decoder(payload, media_type) -> dict`` defaults to ``_pick_decoder()``
+    (PIL where available, the deterministic stub otherwise); tests inject a
+    custom kernel to prove the dispatch plumbing without the library."""
     out_schema = (
         "doc_id long, media_type string, n_bytes long, "
         "mean_luma double, sharpness double, is_decodable boolean"
     )
+    decode = decoder or _pick_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(p, m)
+                decode(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             fdf = pd.DataFrame(feats)

@@ -291,11 +291,25 @@ class Lake:
             self._save_manifest(m)
         return path
 
+    def _recover_compact(self, name: str) -> None:
+        """Heal compact()'s crash window. Between its two renames the table
+        path does not exist and the data survives only at ``<path>__old``;
+        a crash there used to strand the table until the next compact()
+        rmtree'd the old copy (round-2 advice). Roll BACK by restoring the
+        old copy — the half-swapped ``__compacting`` output is left for the
+        next compact() to clear. A leftover ``__old`` alongside an intact
+        table means the swap completed and the copy is just debris."""
+        path = self.table_path(name)
+        old = path + "__old"
+        if os.path.isdir(old) and not os.path.isdir(path):
+            os.replace(old, path)
+
     def read(self, name: str) -> DataFrame:
         if self.catalog:
             return self.spark.table(self._ident(name))
         m = self._load_manifest()
         alias = m.get("aliases", {}).get(name)
+        self._recover_compact(alias["of_table"] if alias else name)
         if alias is not None:
             # basePath keeps the partition column (e.g. route) in the
             # alias's schema — sink_* tables must satisfy the same routed
@@ -316,6 +330,7 @@ class Lake:
         """
         import shutil
 
+        self._recover_compact(name)  # heal a previous run's crash window
         path = self.table_path(name)
         total = sum(
             os.path.getsize(os.path.join(dp, f))
@@ -348,8 +363,9 @@ class Lake:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
-        # swap via rename-aside so a crash between steps never leaves the
-        # table missing: old copy survives until the new one is in place
+        # swap via rename-aside: the old copy survives every crash point,
+        # and _recover_compact() (run on read and at compact start) rolls
+        # the table back if a crash lands between the two renames
         os.replace(path, old)
         os.replace(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

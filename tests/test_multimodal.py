@@ -51,3 +51,31 @@ def test_frame_sample_stub_raises_on_video(spark, media_df):
     video = media_df.withColumn("media_type", F.lit("video/mp4"))
     with pytest.raises(Exception, match="ffmpeg"):
         frame_sample_stub(video).count()
+
+
+def test_decoder_dispatch_and_injection(spark, media_df):
+    """The decode stage auto-selects its kernel (PIL where importable, the
+    deterministic stub in this container) and accepts an injected kernel —
+    proving the plumbing is decoder-agnostic."""
+    from racing_telemetry_pipeline_spark.multimodal.binary_ops import (
+        _decode_stub,
+        _pick_decoder,
+        _pil_available,
+    )
+
+    picked = _pick_decoder()
+    if _pil_available():
+        assert picked is not _decode_stub
+    else:
+        assert picked is _decode_stub
+
+    def custom(payload, media_type):
+        return {
+            "mean_luma": float(len(payload)),
+            "sharpness": 0.5,
+            "is_decodable": media_type.startswith("image/"),
+        }
+
+    feats = decode_image_batch(media_df, decoder=custom).toPandas()
+    assert (feats["mean_luma"] == feats["n_bytes"]).all()
+    assert (feats["sharpness"] == 0.5).all()

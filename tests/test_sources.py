@@ -141,3 +141,34 @@ def test_compaction(spark, raw_unit, tmp_path):
     assert after.count() == before
     # manifest snapshot updated
     assert lake.snapshot_id("many_files")
+
+
+def test_compact_crash_window_recovery(spark, raw_unit, tmp_path):
+    """Crash BETWEEN compact()'s two renames: the table path is missing and
+    the data survives only at '<path>__old'. Both read() and the next
+    compact() must restore it (round-2 advice item)."""
+    import shutil
+
+    lake = Lake(spark, str(tmp_path / "lakecrash"))
+    df = spark.read.parquet(raw_unit).repartition(8)
+    lake.write(df, "tbl", input_snapshot="x")
+    n = lake.read("tbl").count()
+
+    # simulate the mid-swap crash state: path renamed aside, new copy
+    # still at __compacting
+    path = lake.table_path("tbl")
+    os.replace(path, path + "__old")
+    os.makedirs(path + "__compacting", exist_ok=True)
+    assert not os.path.isdir(path)
+
+    assert lake.read("tbl").count() == n  # read heals the window
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + "__old")
+
+    # same crash state healed by the next compact() itself
+    os.replace(path, path + "__old")
+    n_files = lake.compact("tbl", target_file_bytes=1 << 20)
+    assert n_files >= 1
+    assert lake.read("tbl").count() == n
+    assert not os.path.isdir(path + "__old")
+    shutil.rmtree(path + "__compacting", ignore_errors=True)
