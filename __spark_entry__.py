@@ -1,7 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship log-pipeline query (route fan-out counts) at
-sf0.001. ``queries()`` — one entry per implemented operator (SURVEY.md §2);
+sf0.001. ``queries()`` — the CURATED 50-entry window (the driver records
+exactly 50 CORRECTNESS rows): one entry per implemented operator
+(SURVEY.md §2) and per LLM-pipeline op; redundant twins live in
+``rotated_queries()`` and are verified by tools/check_oracle.py.
 ``oracle_sql()`` — matching DuckDB SQL with identical column names.
 """
 
