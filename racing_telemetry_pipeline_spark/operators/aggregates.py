@@ -70,18 +70,29 @@ def role_latency_percentiles(routed: DataFrame, approx: bool = False) -> DataFra
         .filter(F.col("turn_latency_sec").isNotNull())
     )
 
-    def pct(p: float):
-        if approx:
-            return F.percentile_approx("turn_latency_sec", p)
-        return F.expr(f"percentile(turn_latency_sec, {p})")
+    # ONE percentile sketch per group for all three quantiles — three
+    # scalar percentile_approx calls would build three independent
+    # QuantileSummaries over every row, tripling the dominant per-row cost
+    # of this aggregation
+    if approx:
+        pcts = F.percentile_approx(
+            "turn_latency_sec", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        )
+    else:
+        pcts = F.expr("percentile(turn_latency_sec, array(0.5, 0.95, 0.99))")
 
     return (
         flow.groupBy("role")
         .agg(
             F.count("*").alias("n_turns"),
-            F.round(pct(0.5), 6).alias("p50_latency_sec"),
-            F.round(pct(0.95), 6).alias("p95_latency_sec"),
-            F.round(pct(0.99), 6).alias("p99_latency_sec"),
+            pcts.alias("_pcts"),
+        )
+        .select(
+            "role",
+            "n_turns",
+            F.round(F.col("_pcts")[0], 6).alias("p50_latency_sec"),
+            F.round(F.col("_pcts")[1], 6).alias("p95_latency_sec"),
+            F.round(F.col("_pcts")[2], 6).alias("p99_latency_sec"),
         )
         .orderBy("role")
     )

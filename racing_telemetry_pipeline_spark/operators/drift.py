@@ -46,6 +46,7 @@ def drift_calibration(
     window_sec: int = 300,
     step_std_factor: float = 3.0,
     dt_col: str | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Per-(conv, tumbling window) drift stats over inter-turn deltas.
 
@@ -58,6 +59,12 @@ def drift_calibration(
     (e.g. the routed table's ``dt_sec`` from add_time_flags) — the stage
     then plans as a pure aggregation with NO window shuffle over the raw
     table, which is what lets the aggregate stages scale (see bench).
+
+    ``approx=True`` swaps the exact medians for ``percentile_approx``
+    (same at-scale contract as the other aggregate tables; exact is the
+    test-scale / oracle configuration). The exact percentile is an
+    object-hash aggregate that buffers each group's deltas — fine for
+    bounded (conv, 5-min window) groups, but measurably slower per row.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     if dt_col is None:
@@ -68,24 +75,33 @@ def drift_calibration(
     # integer division for exact window binning at boundaries
     win = (us - F.pmod(us, F.lit(window_sec * 1_000_000))) / F.lit(1_000_000)
     win = win.cast("long")
+    med = (
+        F.percentile_approx("_dt", 0.5)
+        if approx
+        else F.expr("percentile(_dt, 0.5)")
+    )
     per_win = (
         df.withColumn("_dt", dt)
         .withColumn("win_start", win)
         .filter(F.col("_dt").isNotNull())
         .groupBy(conv_col, "win_start")
         .agg(
-            F.expr("percentile(_dt, 0.5)").alias("drift_median"),
+            med.alias("drift_median"),
             F.avg("_dt").alias("drift_mean"),
             F.stddev("_dt").alias("drift_std"),
             F.count("*").alias("n_samples"),
         )
     )
+    std_med = (
+        F.percentile_approx("drift_std", 0.5)
+        if approx
+        else F.expr("percentile(drift_std, 0.5)")
+    )
     conv_med = Window.partitionBy(conv_col)
     return per_win.withColumn(
         "step_detected",
         F.coalesce(
-            F.col("drift_std")
-            > step_std_factor * F.expr("percentile(drift_std, 0.5)").over(conv_med),
+            F.col("drift_std") > step_std_factor * std_med.over(conv_med),
             F.lit(False),
         ),
     )

@@ -191,6 +191,7 @@ def run_pipeline(
             window_sec=settings.drift_window_sec,
             step_std_factor=settings.step_std_factor,
             dt_col="dt_sec",
+            approx=approx_percentiles,
         )
         lake.write(cal, "drift_calibration", input_snapshot=routed_snapshot)
 
