@@ -67,5 +67,8 @@ SCALES: dict[str, Scale] = {
     "sf-unit": Scale("sf-unit", n_convs=50, mean_turns=40, n_hot=1),
     "sf-small": Scale("sf-small", n_convs=900, mean_turns=220, n_hot=2),
     "sf-bench": Scale("sf-bench", n_convs=9000, mean_turns=900, n_hot=3),
-    "sf-scaling": Scale("sf-scaling", n_convs=18000, mean_turns=900, n_hot=3),
+    # the wide (local[4] vs local[16]) bench pair input: ~4x sf-bench so
+    # the ~10s/run fixed driver cost is a small fraction of even the
+    # 16-core wall and the pair's efficiency reflects compute scaling
+    "sf-scaling": Scale("sf-scaling", n_convs=36000, mean_turns=900, n_hot=3),
 }

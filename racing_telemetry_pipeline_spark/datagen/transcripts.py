@@ -170,6 +170,18 @@ def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pa.Tabl
         keys.append(np.stack([idx, np.full(len(idx), rank)], axis=1))
 
     all_tbl = pa.concat_tables(parts)
+    # 64-bit string offsets: at sf-scaling+ the ingest-order take would
+    # otherwise overflow 32-bit offsets concatenating >2 GB of text into
+    # one chunk (parquet writes the same BYTE_ARRAY type either way)
+    big = pa.schema(
+        [
+            pa.field(f.name, pa.large_string())
+            if pa.types.is_string(f.type)
+            else f
+            for f in all_tbl.schema
+        ]
+    )
+    all_tbl = all_tbl.cast(big)
     k = np.concatenate(keys)
     order = np.lexsort((k[:, 1], k[:, 0]))
     return all_tbl.take(order)

@@ -3,6 +3,7 @@ from .binary_ops import (
     decode_image_batch,
     extract_payload_features,
     frame_sample_stub,
+    resize_image_batch,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "decode_image_batch",
     "extract_payload_features",
     "frame_sample_stub",
+    "resize_image_batch",
 ]

@@ -154,6 +154,85 @@ def extract_payload_features(df: DataFrame) -> DataFrame:
     )
 
 
+def _resize_stub(payload: bytes, width: int, height: int,
+                 new_w: int, new_h: int) -> bytes:
+    """Deterministic fake resize: scales the byte budget with the pixel
+    ratio (truncate/repeat), so plumbing tests can assert size behavior
+    without an image library."""
+    if width <= 0 or height <= 0:
+        return payload
+    ratio = (new_w * new_h) / float(width * height)
+    n = max(int(len(payload) * ratio), 1)
+    reps = (n // max(len(payload), 1)) + 1
+    return (payload * reps)[:n]
+
+
+def _resize_pil(payload: bytes, width: int, height: int,
+                new_w: int, new_h: int) -> bytes:
+    """Real resize via PIL (only reachable where PIL is installed);
+    undecodable bytes pass through unchanged rather than failing the
+    task."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(payload))
+        out = BytesIO()
+        img.resize((new_w, new_h)).save(out, format=img.format or "PNG")
+        return out.getvalue()
+    except Exception:
+        return payload
+
+
+def resize_image_batch(
+    df: DataFrame, max_side: int = 32, resizer=None
+) -> DataFrame:
+    """mapInPandas resize stage: cap the longer image side at ``max_side``
+    preserving aspect ratio; non-image rows pass through untouched.
+
+    Schema-preserving (payload/media_type/width/height/n_bytes), so it
+    composes ahead of ``decode_image_batch``. ``resizer(payload, w, h,
+    new_w, new_h) -> bytes`` defaults to PIL where importable on the
+    executors, the deterministic stub otherwise — same auto-upgrade
+    dispatch as the decoder."""
+    out_schema = f"doc_id long, {PAYLOAD_SCHEMA_SUFFIX}"
+    kernel = resizer or (_resize_pil if _pil_available() else _resize_stub)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for p, m, w, h in zip(
+                pdf["payload"], pdf["media_type"], pdf["width"], pdf["height"]
+            ):
+                longer = max(int(w), int(h))
+                if not m.startswith("image/") or longer <= max_side:
+                    payloads.append(p)
+                    widths.append(int(w))
+                    heights.append(int(h))
+                    continue
+                scale = max_side / float(longer)
+                nw = max(int(round(w * scale)), 1)
+                nh = max(int(round(h * scale)), 1)
+                payloads.append(kernel(p, int(w), int(h), nw, nh))
+                widths.append(nw)
+                heights.append(nh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "media_type": pdf["media_type"].values,
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(
+        "doc_id", "payload", "media_type", "width", "height"
+    ).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: real implementation needs ffmpeg.
 

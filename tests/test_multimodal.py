@@ -10,6 +10,7 @@ from racing_telemetry_pipeline_spark.multimodal import (
     decode_image_batch,
     extract_payload_features,
     frame_sample_stub,
+    resize_image_batch,
 )
 
 
@@ -51,6 +52,48 @@ def test_frame_sample_stub_raises_on_video(spark, media_df):
     video = media_df.withColumn("media_type", F.lit("video/mp4"))
     with pytest.raises(Exception, match="ffmpeg"):
         frame_sample_stub(video).count()
+
+
+def test_resize_caps_longer_side_and_composes(spark, media_df):
+    """Resize plumbing: longer side capped at max_side preserving aspect
+    ratio, non-image rows untouched, schema preserved so the stage chains
+    straight into decode_image_batch."""
+    max_side = 20
+    out = resize_image_batch(media_df, max_side=max_side)
+    pdf = out.toPandas()
+    src = media_df.select(
+        "doc_id", "media_type", "width", "height", "n_bytes"
+    ).toPandas().set_index("doc_id")
+    assert len(pdf) == len(src)
+    for _, r in pdf.iterrows():
+        s = src.loc[r["doc_id"]]
+        if r["media_type"].startswith("image/") and max(s["width"], s["height"]) > max_side:
+            assert max(r["width"], r["height"]) == max_side
+            # aspect ratio preserved up to integer rounding of each side
+            scale = max_side / max(s["width"], s["height"])
+            assert abs(r["width"] - s["width"] * scale) <= 0.5
+            assert abs(r["height"] - s["height"] * scale) <= 0.5
+            assert r["n_bytes"] == len(pdf[pdf.doc_id == r["doc_id"]].iloc[0]["payload"])
+        else:
+            assert (r["width"], r["height"]) == (s["width"], s["height"])
+            assert r["n_bytes"] == s["n_bytes"]
+    # schema-preserving: decode runs directly on the resized frame
+    feats = decode_image_batch(out).toPandas()
+    assert len(feats) == len(src)
+
+    # injected kernel: proves the resize plumbing is kernel-agnostic
+    def marker(payload, w, h, nw, nh):
+        return b"\x01" * (nw * nh)
+
+    marked = resize_image_batch(media_df, max_side=max_side, resizer=marker).toPandas()
+    resized = marked[
+        marked["media_type"].str.startswith("image/")
+        & (
+            src.loc[marked["doc_id"], ["width", "height"]].max(axis=1).values
+            > max_side
+        )
+    ]
+    assert (resized["n_bytes"] == resized["width"] * resized["height"]).all()
 
 
 def test_decoder_dispatch_and_injection(spark, media_df):
