@@ -229,9 +229,12 @@ def main() -> int:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     # Wall cap for the whole script: every phase budget derives from what
     # remains of it, so the true worst case is cap + one worker grace
-    # window (90s). 1080 fits phase A + both scaling pairs with >=2 warm
-    # runs per config at the round-3 input sizes.
-    total_cap = float(os.environ.get("SPARK_GRAFT_BENCH_CAP", "1080"))
+    # window (90s). 1400 is sized so every config of both pairs gets its
+    # cold first run (~200-250s at 44M turns: one-time per-JVM cost that
+    # neither a warm-up pipeline nor -Xms/-XX:+AlwaysPreTouch removes —
+    # measured) PLUS at least two warm runs, since the reported number is
+    # the min over warm repeats.
+    total_cap = float(os.environ.get("SPARK_GRAFT_BENCH_CAP", "1400"))
 
     result: dict = {
         "metric": "headline_queries_total_sec",
@@ -314,10 +317,11 @@ def main() -> int:
         raw1, turns1 = ensure_bench_raw(BENCH_SCALE)
         margin = 40.0
         rem = max(remaining() - margin, 0.0)
-        # pair 1 gets ~45% of what's left, weighted toward its slow N side
-        # (its numbers are stable across 14+ recorded runs; the wide pair
-        # needs the larger share for warm repeats on the 4x input)
-        b1 = rem * 0.45
+        # pair 1 gets ~40% of what's left, weighted toward its slow N side
+        # (its numbers are stable across 15+ recorded runs; the wide pair
+        # needs the larger share for cold-start + warm repeats on the 4x
+        # input)
+        b1 = rem * 0.40
         result["pipeline"] = measure_pair(
             raw1, turns1, int(pair1[0]), int(pair1[1]),
             budget_4n=b1 * 0.30, budget_n=b1 * 0.70, tag="p1")
@@ -349,11 +353,30 @@ def main() -> int:
     return 0
 
 
+def _code_fingerprint() -> str:
+    """Hash of the pipeline-affecting package source. best_observed must
+    only pair minima measured on the SAME code — after an optimization
+    lands, one side's new best paired with the other side's pre-change
+    best is a ratio of two different programs."""
+    import glob
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(REPO, "racing_telemetry_pipeline_spark")
+    skip = os.sep + "queries" + os.sep  # query registry doesn't run in phase B
+    for f in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        if skip in f:
+            continue
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
+
+
 def _record_history(block: dict, n: int, n4: int, n_turns: int,
                     t_n: float, t_4n: float) -> None:
     """Cross-run history: the host has minute-scale noise windows, so
     per-round numbers are annotated with the best observed for the same
-    (cores_n, cores_4n, turns) configuration."""
+    (cores_n, cores_4n, turns, code) configuration."""
     hist_path = os.path.join(REPO, "BENCH_HISTORY.json")
     history = []
     if os.path.exists(hist_path):
@@ -362,12 +385,16 @@ def _record_history(block: dict, n: int, n4: int, n_turns: int,
                 history = json.load(fh)
         except Exception:
             history = []
+    code = _code_fingerprint()
     history.append(
         {"t_n_sec": round(t_n, 2), "t_4n_sec": round(t_4n, 2),
-         "cores_n": n, "cores_4n": n4, "turns": n_turns, "at": time.time()}
+         "cores_n": n, "cores_4n": n4, "turns": n_turns, "code": code,
+         "at": time.time()}
     )
+    # strict: entries recorded before the code field existed never pair
+    # with current code either
     same = [h for h in history if h["cores_n"] == n and h["cores_4n"] == n4
-            and h["turns"] == n_turns]
+            and h["turns"] == n_turns and h.get("code") == code]
     best_n = min(h["t_n_sec"] for h in same)
     best_4n = min(h["t_4n_sec"] for h in same)
     block["best_observed"] = {
@@ -397,7 +424,7 @@ def _pair_md(p: dict, title: str, scale: str) -> list[str]:
     bo = p.get("best_observed")
     if bo:
         lines += [
-            f"- best observed across {bo['n_runs']} recorded runs"
+            f"- best observed across {bo['n_runs']} recorded same-code runs"
             f" (BENCH_HISTORY.json): T_N={bo['t_n_sec']}s,"
             f" T_4N={bo['t_4n_sec']}s, efficiency"
             f" **{bo['scaling_efficiency']}**,"

@@ -48,6 +48,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # shuffle/spill files: tmpfs when available. The sandbox's lone
+        # disk is a SHARED serial resource — shuffle I/O through it caps
+        # multi-core scaling no matter how well the compute parallelizes.
+        # A real cluster puts this on per-executor local NVMe (and sinks
+        # on HDFS/S3), which scales with executor count.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
