@@ -297,6 +297,7 @@ def main() -> int:
                 "runs_4n_sec": (pa or {}).get("runs", []),
                 "runs_n_sec": (pb or {}).get("runs", []),
             }
+        eff = round((t_n / t_4n) / (n4 / n), 3)
         block = {
             "turns": n_turns,
             "cores_n": n,
@@ -305,10 +306,20 @@ def main() -> int:
             "t_4n_sec": round(t_4n, 2),
             "turns_per_sec_n": round(n_turns / t_n),
             "turns_per_sec_4n": round(n_turns / t_4n),
-            "scaling_efficiency": round((t_n / t_4n) / (n4 / n), 3),
+            "scaling_efficiency": eff,
             "runs_4n_sec": pa.get("runs", []),
             "runs_n_sec": pb.get("runs", []),
         }
+        if eff > 1.05:
+            # super-linear local[] scaling is not physical: it means the
+            # slow (N) side never reached its warm steady state inside its
+            # budget (cold start / host noise), so this window's ratio
+            # overstates. Flag it rather than report it as a result.
+            block["note"] = (
+                "efficiency > 1 is a measurement artifact: N-side min is "
+                "cold/noise-inflated (see runs_n_sec); steady state is the "
+                "same-code best_observed as rounds accumulate"
+            )
         _record_history(block, n, n4, n_turns, t_n, t_4n)
         return block
 
@@ -397,13 +408,19 @@ def _record_history(block: dict, n: int, n4: int, n_turns: int,
             and h["turns"] == n_turns and h.get("code") == code]
     best_n = min(h["t_n_sec"] for h in same)
     best_4n = min(h["t_4n_sec"] for h in same)
+    bo_eff = round((best_n / best_4n) / (n4 / n), 3)
     block["best_observed"] = {
         "t_n_sec": best_n,
         "t_4n_sec": best_4n,
         "turns_per_sec_4n": round(n_turns / best_4n),
-        "scaling_efficiency": round((best_n / best_4n) / (n4 / n), 3),
+        "scaling_efficiency": bo_eff,
         "n_runs": len(same),
     }
+    if bo_eff > 1.05:
+        block["best_observed"]["note"] = (
+            "artifact: N-side best is still cold/noise-inflated at this "
+            "sample count"
+        )
     with open(hist_path, "w") as fh:
         json.dump(history, fh)
 
@@ -421,6 +438,8 @@ def _pair_md(p: dict, title: str, scale: str) -> list[str]:
         f" = **{p['scaling_efficiency']}**"
         " (target >= 0.8; reference is single-threaded — BASELINE.md)",
     ]
+    if p.get("note"):
+        lines += [f"- NOTE: {p['note']}"]
     bo = p.get("best_observed")
     if bo:
         lines += [
