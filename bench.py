@@ -114,7 +114,18 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     lake = f"{base}/rtps_bench_lake_{cores}_{os.getpid()}"
     warm_lake = f"{lake}_warm"
-    spark = get_spark(f"bench-{cores}", cores=cores)
+    # Shuffle partition count follows the DATA, floored at the core count
+    # (AQE coalesces the excess): at 44M turns a 4-core run with
+    # partitions=cores sorts ~11M rows per partition and spills, while 16
+    # cores doesn't — the pair would then measure spill behavior, not
+    # compute scaling. ~3M rows/partition ~ 250MB of wide shuffle rows.
+    rows = 0
+    meta = os.path.join(raw_dir, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            rows = json.load(fh).get("rows", 0)
+    sp = max(cores, 8, rows // 3_000_000)
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=sp)
     t_start = time.perf_counter()
     runs: list[float] = []
     try:
@@ -365,10 +376,12 @@ def main() -> int:
 
 
 def _code_fingerprint() -> str:
-    """Hash of the pipeline-affecting package source. best_observed must
-    only pair minima measured on the SAME code — after an optimization
-    lands, one side's new best paired with the other side's pre-change
-    best is a ratio of two different programs."""
+    """Hash of the pipeline-affecting package source plus this harness.
+    best_observed must only pair minima measured on the SAME program and
+    measurement config — after an optimization (or a worker-config change
+    like the shuffle-partition formula) lands, one side's new best paired
+    with the other side's pre-change best is a ratio of two different
+    setups."""
     import glob
     import hashlib
 
@@ -380,6 +393,8 @@ def _code_fingerprint() -> str:
             continue
         with open(f, "rb") as fh:
             h.update(fh.read())
+    with open(os.path.abspath(__file__), "rb") as fh:
+        h.update(fh.read())
     return h.hexdigest()[:12]
 
 

@@ -687,6 +687,51 @@ FROM final_cells GROUP BY cent_id
 )
 
 
+def sim10_embedding_dedup_clusters(spark, sf_dir):
+    """End-to-end embedding-space dedup: connected components over the
+    sim5 banded-LSH near-dup pairs, one row per cluster with the kept
+    representative (min vec_id) — the embedding twin of dd6's text
+    near-dup clustering, sharing the same cc_bigstar scale kernel
+    (O(log^2 n) rounds of co-partitioned groupBy/joins; edges come from
+    the bucketed LSH equi-join, never from all pairs).
+
+    Reference-capability analog: duplicate-lap collapse keyed on derived
+    similarity (/root/reference/src/ingestion/anomalies.py:39-95), lifted
+    to vector space for training-data curation."""
+    from ..operators.graph import cc_bigstar
+
+    edges = sim5_embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = cc_bigstar(edges)  # (doc_id, cluster_id), cluster = min id
+    return labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("doc_id").alias("keep_vec"),
+        F.max("doc_id").alias("max_vec"),
+    )
+
+
+SIM10_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({SIM5_SQL})),
+base_edges AS (SELECT id_a AS src, id_b AS dst FROM pairs),
+edges AS (
+  SELECT src, dst FROM base_edges
+  UNION ALL SELECT dst, src FROM base_edges
+), nodes AS (
+  SELECT DISTINCT src AS vec_id FROM edges
+), reach(a, b) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+), labels AS (
+  SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT cluster_id, count(*) AS n_vectors, min(vec_id) AS keep_vec,
+       max(vec_id) AS max_vec
+FROM labels GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
     "sim2_lsh_signatures": (sim2_lsh_signatures, SIM2_SQL),
@@ -697,4 +742,8 @@ QUERIES = {
     "sim7_ann_topk": (sim7_ann_topk, SIM7_SQL),
     "sim8_ivf_topk": (sim8_ivf_topk, SIM8_SQL),
     "sim9_kmeans_cells": (sim9_kmeans_cells, SIM9_SQL),
+    "sim10_embedding_dedup_clusters": (
+        sim10_embedding_dedup_clusters,
+        SIM10_SQL,
+    ),
 }
