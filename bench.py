@@ -55,6 +55,12 @@ HEADLINE = [
 
 BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "sf-bench")
 
+# Bumped ONLY when a change to this file alters what phase B measures
+# (worker configs, partition formula, budget semantics) — folded into the
+# history fingerprint so best_observed never pairs runs under different
+# measurement setups, while doc/report tweaks here don't reset history.
+BENCH_CONFIG_VERSION = "v3"
+
 
 # --------------------------------------------------------------------------
 # worker modes (run in fresh subprocesses; the only code that touches Spark)
@@ -346,7 +352,7 @@ def main() -> int:
         b1 = rem * 0.40
         result["pipeline"] = measure_pair(
             raw1, turns1, int(pair1[0]), int(pair1[1]),
-            budget_4n=b1 * 0.30, budget_n=b1 * 0.70, tag="p1")
+            budget_4n=b1 * 0.35, budget_n=b1 * 0.65, tag="p1")
         print(json.dumps(result), flush=True)  # partial: survives pair-2 death
     except Exception as exc:  # phase B must never zero out phase A
         result["pipeline"] = {"error": f"{type(exc).__name__}: {exc}"}
@@ -393,8 +399,7 @@ def _code_fingerprint() -> str:
             continue
         with open(f, "rb") as fh:
             h.update(fh.read())
-    with open(os.path.abspath(__file__), "rb") as fh:
-        h.update(fh.read())
+    h.update(BENCH_CONFIG_VERSION.encode())
     return h.hexdigest()[:12]
 
 

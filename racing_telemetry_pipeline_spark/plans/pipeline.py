@@ -200,21 +200,43 @@ def run_pipeline(
         routed = lake.read("routed")
 
         def build_tpc():
+            import pandas as pd
+            from pyspark.sql import Observation
+
+            # sink counts ride along the tpc write via observe(): the
+            # route set is fixed and tiny at ANY scale, so the rollup is
+            # three conditional sums captured during the job already
+            # scanning the data — not a separate read-back job (each extra
+            # job is ~0.5-1s of plan/schedule/commit fixed cost)
+            obs = Observation("tpc_sinks")
+            tpc = turns_per_conversation(routed).observe(
+                obs,
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("route") == s, F.col("n_turns"))),
+                        F.lit(0),
+                    ).cast("long").alias(s)
+                    for s in settings.sinks
+                ],
+            )
             lake.write(
-                turns_per_conversation(routed),
+                tpc,
                 "agg_turns_per_conversation",
                 input_snapshot=routed_snapshot,
             )
-            # sink counts roll up from the (route, conv) table — tiny scan,
-            # not another pass over the routed data
-            tpc = lake.read("agg_turns_per_conversation")
-            lake.write(
-                tpc.groupBy("route")
-                .agg(F.sum("n_turns").alias("n_rows"))
-                .orderBy("route"),
-                "agg_sink_counts",
-                input_snapshot=routed_snapshot,
+            vals = dict(obs.get)
+            counts = (
+                pd.DataFrame(
+                    {
+                        "route": list(settings.sinks),
+                        "n_rows": [int(vals[s]) for s in settings.sinks],
+                    }
+                )
+                .loc[lambda d: d["n_rows"] > 0]
+                .sort_values("route")
+                .reset_index(drop=True)
             )
+            lake.write_small(counts, "agg_sink_counts", routed_snapshot)
 
         _concurrently(
             build_tpc,
