@@ -2,10 +2,13 @@
 
 These run the actual north-star pipeline (plans/pipeline.py) over the
 deterministic synthetic transcript table (FIXTURES.md §1), generated once
-into a temp dir. No DuckDB oracle is possible (the transcripts table is
-not among the pre-registered views) so the driver records rows-only
-checks; the full value-level correctness of these stages is covered by
-the pandas-oracle pytest suite (tests/test_pipeline_e2e.py).
+into a temp dir. pipe1-pipe3 carry full DuckDB oracles: the whole
+parse->sync->enrich->route plan is re-expressed as one SQL chain over
+``read_parquet(raw_dir, filename, file_row_number)`` (the ingest ordinal
+DuckDB-side, mirroring Spark's ``_metadata`` ordinal), so the driver's
+hash gate covers the pipeline end-to-end. Only pipe4 stays rows-only —
+its Huber IRLS loop is genuinely not SQL-expressible; value-level
+coverage for it lives in tests/test_robust.py's pandas oracle.
 """
 
 from __future__ import annotations
@@ -115,9 +118,140 @@ def pipe4_drift_methods(spark, sf_dir):
     )
 
 
+# --- DuckDB oracle: the routed table as ONE SQL chain -----------------------
+# Semantics mirror plans/pipeline.py `_build_routed` stage by stage:
+# keep-last dedup by (filename, file_row_number) ordinal == Spark's
+# (_metadata.file_path, _metadata.row_index); µs-integer time math before
+# the divide (memory: float64 ulp at 2025 epochs); routing CASE precedence
+# identical to operators/routing.py. Dim tables are inlined VALUES — the
+# same literals as datagen/dims.py.
+
+
+def _routed_sql(raw_dir: str) -> str:
+    from ..datagen.dims import TOOLS, _SENSITIVE, _TOOL_FAMILY
+    from ..functions.grok import EVENT_PATTERN, TOOL_CALL_PATTERN
+
+    # DuckDB single-quoted literals pass backslashes through untouched, so
+    # the Python regex strings embed verbatim (\d stays \d for RE2)
+    tc = TOOL_CALL_PATTERN
+    ev = EVENT_PATTERN
+    dim_tools = ", ".join(
+        f"('{t}','{_TOOL_FAMILY[t]}',{'true' if t in _SENSITIVE else 'false'})"
+        for t in TOOLS
+    )
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         filename AS _f, file_row_number AS _p
+  FROM read_parquet('{raw_dir}/*.parquet', filename=true, file_row_number=true)
+),
+dedup AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM raw
+  QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                             ORDER BY _f DESC, _p DESC) = 1
+),
+flagged AS (
+  SELECT *,
+    (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt_sec,
+    max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING) AS ts_sync
+  FROM dedup
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+flagged2 AS (
+  SELECT *,
+    coalesce(dt_sec < -0.0, FALSE) AS is_backwards,
+    coalesce(dt_sec > 2.0, FALSE) AS is_gap
+  FROM flagged
+),
+synced AS (
+  SELECT *,
+    sum(CASE WHEN is_backwards OR is_gap THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS UNBOUNDED PRECEDING) AS segment_id
+  FROM flagged2
+),
+parsed0 AS (
+  SELECT *,
+    nullif(regexp_extract(text, '{tc}', 1), '') AS tool_name,
+    try_cast(nullif(regexp_extract(text, '{tc}', 2), '') AS bigint) AS args_bytes,
+    try_cast(nullif(regexp_extract(text, '{tc}', 3), '') AS bigint) AS latency_raw,
+    nullif(regexp_extract(text, '{ev}', 1), '') AS event_kind,
+    contains(text, '<tool_call ') AS has_tool_markup
+  FROM synced
+),
+parsed AS (
+  SELECT * EXCLUDE (latency_raw),
+    CASE WHEN latency_raw = 32768 THEN NULL ELSE latency_raw END AS latency_ms,
+    (tool_name IS NOT NULL AND args_bytes IS NOT NULL
+     AND latency_raw IS NOT NULL) AS parse_ok
+  FROM parsed0
+),
+dim_roles(role, role_group, priority) AS (VALUES
+  ('user','human',1), ('assistant','model',2),
+  ('tool','machine',3), ('system','control',0)),
+dim_tools(tool_key, tool_family, is_sensitive) AS (VALUES {dim_tools}),
+enriched AS (
+  SELECT p.*, r.role_group, r.priority, t.tool_family, t.is_sensitive
+  FROM parsed p
+  LEFT JOIN dim_roles r USING (role)
+  LEFT JOIN dim_tools t ON p.tool_name = t.tool_key
+),
+reasons AS (
+  SELECT *,
+    CASE
+      WHEN ts IS NULL THEN 'null_ts'
+      WHEN role_group IS NULL THEN 'unknown_role'
+      WHEN coalesce(has_tool_markup AND NOT parse_ok, FALSE) THEN 'malformed_tool_call'
+      WHEN coalesce(latency_ms < 0, FALSE) THEN 'negative_latency'
+      WHEN coalesce(args_bytes > 10000000, FALSE) THEN 'args_too_large'
+      ELSE NULL
+    END AS reason
+  FROM enriched
+)
+SELECT *,
+  CASE WHEN reason IS NOT NULL THEN 'quarantine'
+       WHEN parse_ok THEN 'tool_events'
+       ELSE 'valid' END AS route
+FROM reasons
+"""
+
+
+def _pipe_oracles() -> dict[str, str]:
+    routed = _routed_sql(_raw_dir())
+    pipe1 = f"""WITH routedT AS ({routed})
+SELECT route, reason, count(*) AS n_rows, count(DISTINCT conv_id) AS n_convs
+FROM routedT GROUP BY route, reason"""
+    pipe2 = f"""WITH routedT AS ({routed}),
+flags AS (
+  SELECT is_backwards,
+    coalesce(ts_sync < lag(ts_sync) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+             FALSE) AS bw
+  FROM routedT
+)
+SELECT
+  sum(CASE WHEN bw THEN 1 ELSE 0 END) AS n_backwards_after_repair,
+  sum(CASE WHEN is_backwards THEN 1 ELSE 0 END) AS n_backwards_raw,
+  count(*) AS n_rows
+FROM flags"""
+    pipe3 = f"""WITH routedT AS ({routed})
+SELECT tool_name, count(*) AS n_calls,
+  round(avg(latency_ms), 4) AS avg_latency_ms,
+  round(quantile_cont(latency_ms, 0.95), 4) AS p95_latency_ms,
+  sum(args_bytes) AS total_args_bytes
+FROM routedT WHERE route = 'tool_events'
+GROUP BY tool_name ORDER BY tool_name"""
+    return {"pipe1_routed": pipe1, "pipe2_monotonic_invariant": pipe2,
+            "pipe3_tool_aggregates": pipe3}
+
+
+_ORACLES = _pipe_oracles()
+
 QUERIES = {
-    "pipe1_routed": (pipe1_routed, None),
-    "pipe2_monotonic_invariant": (pipe2_monotonic_invariant, None),
-    "pipe3_tool_aggregates": (pipe3_tool_aggregates, None),
+    "pipe1_routed": (pipe1_routed, _ORACLES["pipe1_routed"]),
+    "pipe2_monotonic_invariant": (
+        pipe2_monotonic_invariant, _ORACLES["pipe2_monotonic_invariant"]),
+    "pipe3_tool_aggregates": (
+        pipe3_tool_aggregates, _ORACLES["pipe3_tool_aggregates"]),
     "pipe4_drift_methods": (pipe4_drift_methods, None),
 }
