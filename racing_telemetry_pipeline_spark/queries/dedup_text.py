@@ -2,12 +2,13 @@
 families (exact, n-gram Jaccard, MinHash, SimHash) and text analysis
 (language-ID heuristic, quality scoring, token stats, fingerprinting).
 
-Hash parity trick: both engines derive a 64-bit integer token hash from
-the FIRST 15 HEX DIGITS OF MD5 — Spark ``conv(substr(md5(x),1,15),16,10)``
-== DuckDB ``('0x'||substr(md5(x),1,15))::bigint`` — so MinHash/SimHash
-signatures are bit-identical across engines (verified in tools/check_oracle).
-At 100 TB scale the md5 would be swapped for xxhash64 (Spark-side only);
-md5 here buys cross-engine verifiability.
+Hash parity trick: both engines derive the SAME signed 64-bit token hash
+from the first 16 hex digits of md5, assembled as two 32-bit halves
+(hi_signed * 2^32 + lo) so every intermediate stays inside int64 on both
+engines and all 64 bits are informative (bit 63 lands on the int64 sign
+bit) — MinHash/SimHash signatures are bit-identical across engines
+(verified in tools/check_oracle). At 100 TB scale the md5 would be swapped
+for xxhash64 (Spark-side only); md5 here buys cross-engine verifiability.
 """
 
 from __future__ import annotations
@@ -44,10 +45,24 @@ def _words(df: DataFrame) -> DataFrame:
 
 
 def _doc_hash64(col):
-    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+    """Signed 64-bit hash from the first 16 hex digits of md5.
+
+    Built as hi_signed * 2^32 + lo (hi/lo = 8 hex digits each): hi_signed
+    spans [-2^31, 2^31-1], so the product + lo covers the full signed
+    int64 range with no intermediate overflow on either engine."""
+    md = F.md5(col.cast("binary"))
+    hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    hi_signed = hi - F.when(hi >= F.lit(2**31), F.lit(2**32)).otherwise(F.lit(0))
+    return hi_signed * F.lit(2**32) + lo
 
 
-_HASH64_SQL = "(('0x' || substr(md5({x}), 1, 15))::bigint)"
+_HASH64_SQL = (
+    "((('0x' || substr(md5({x}), 1, 8))::bigint"
+    " - CASE WHEN ('0x' || substr(md5({x}), 1, 8))::bigint >= 2147483648"
+    " THEN 4294967296 ELSE 0 END) * 4294967296"
+    " + ('0x' || substr(md5({x}), 9, 8))::bigint)"
+)
 
 
 # --- exact dedup (hash groupBy) ----------------------------------------------
