@@ -90,30 +90,24 @@ FROM documents GROUP BY source
 JACCARD_MIN = 0.12
 
 # Stop-shingle cap: a shingle present in more than this many documents is
-# dropped BEFORE the equality self-join. Without it, one boilerplate
-# shingle shared by 10^6 docs makes a 10^12-pair group (the round-1
-# scale-killer); with it, no blocking key ever produces more than
-# MAX_SHINGLE_DF^2/2 pairs regardless of corpus size. 64 > the max df
-# observed in the test corpora, so small-scale results are unchanged;
-# tests/test_hot_shingle.py proves the bound bites on a hot-key fixture.
+# dropped BEFORE pair generation. Without it, one boilerplate shingle
+# shared by 10^6 docs makes a 10^12-pair group (the round-1 scale-killer);
+# with it, no blocking key ever produces more than MAX_SHINGLE_DF^2/2
+# pairs regardless of corpus size. 64 > the max df observed in the test
+# corpora, so small-scale results are unchanged; tests/test_hot_shingle.py
+# proves the bound bites on a hot-key fixture.
 MAX_SHINGLE_DF = 64
 
 
-def _rare_only(sh: DataFrame, key: str) -> DataFrame:
-    """Keep only rows whose ``key`` has document frequency <= cap, via a
-    count window over ``key``: ONE exchange on the blocking key, whose
-    partitioning the following equality self-join then reuses directly
-    (measured vs the groupBy+semi-join shape at sf0.1: 2.1s vs 3.4s warm,
-    one exchange fewer)."""
-    w = Window.partitionBy(key)
-    return (
-        sh.withColumn("_df", F.count("*").over(w))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .drop("_df")
-    )
-
-
 def dd2_ngram_jaccard_pairs(spark, sf_dir):
+    """Candidate pairs WITHOUT a shingle self-join: group each shingle's
+    doc-list (bounded <= MAX_SHINGLE_DF by the stop-shingle cap) and
+    explode its ordered pairs array-side. Versus the equality self-join
+    this removes the second full shuffle+sort of the shingle table — the
+    groupBy(shingle) exchange is the only pass over shingle rows, and the
+    per-doc sizes branch reuses that same exchange (ReusedExchange in the
+    plan, asserted in tests/test_plans.py). Pair blow-up stays bounded at
+    df*(df-1)/2 <= 2016 rows per shingle group."""
     docs = t(spark, sf_dir, "documents")
     w = Window.partitionBy("doc_id").orderBy("pos")
     sh = (
@@ -124,13 +118,26 @@ def dd2_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
         .distinct()
     )
-    sh = _rare_only(sh, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= MAX_SHINGLE_DF)
+    )
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # ordered pairs from the sorted doc-list: (ids[i], ids[j]) for i<j
+    pair_expr = (
+        "flatten(transform(sids, (x, i) -> "
+        "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS a, y AS b))))"
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.filter(F.size("ids") >= 2)
+        .withColumn("sids", F.sort_array("ids"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -517,17 +524,23 @@ MIN_SHARED_SHINGLES = 3
 
 
 def _candidate_edges(spark, sf_dir):
-    # stop-shingle cap before the blocking self-join (same bound as dd2:
-    # no hash key can ever group more than MAX_SHINGLE_DF docs)
-    sh = _rare_only(_shingle_hashes(spark, sf_dir), "h")
-    a, b = sh.alias("a"), sh.alias("b")
+    # same no-self-join shape as dd2: group each shingle hash's doc-list
+    # (stop-shingle cap bounds it at MAX_SHINGLE_DF) and explode ordered
+    # pairs array-side — one pass over the shingle rows
+    grouped = (
+        _shingle_hashes(spark, sf_dir)
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
+    )
+    pair_expr = (
+        "flatten(transform(sids, (x, i) -> "
+        "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS a, y AS b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        grouped.withColumn("sids", F.sort_array("ids"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
         .select("src", "dst")

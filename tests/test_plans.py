@@ -118,3 +118,24 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
     spark.sql("DROP TABLE IF EXISTS b_events")
     spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_dd2_no_self_join_single_scan(spark):
+    """dd2 generates candidate pairs by exploding each shingle group's
+    bounded doc-list — no equality self-join of the shingle table. With
+    static planning (AQE off, so ReusedExchange is visible in the string;
+    AQE's runtime stage cache reuses by the same canonical-plan key) the
+    whole query reads the documents file ONCE and reuses the shingle
+    exchange for the sizes branch."""
+    from racing_telemetry_pipeline_spark.queries.dedup_text import (
+        dd2_ngram_jaccard_pairs,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(dd2_ngram_jaccard_pairs(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert plan.count("ReusedExchange") >= 2
