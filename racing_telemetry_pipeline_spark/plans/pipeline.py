@@ -218,6 +218,15 @@ def run_pipeline(
                     ).cast("long").alias(s)
                     for s in settings.sinks
                 ],
+                # guard: a route outside settings.sinks (possible via a
+                # custom policy's routes.default) must not silently vanish
+                # from the sink-count table
+                F.coalesce(
+                    F.sum(
+                        F.when(~F.col("route").isin(*settings.sinks), F.col("n_turns"))
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("_unrouted"),
             )
             lake.write(
                 tpc,
@@ -225,6 +234,12 @@ def run_pipeline(
                 input_snapshot=routed_snapshot,
             )
             vals = dict(obs.get)
+            if vals.pop("_unrouted"):
+                raise ValueError(
+                    "routed table contains route values outside "
+                    f"settings.sinks={settings.sinks}; extend sinks or fix "
+                    "the routing policy"
+                )
             counts = (
                 pd.DataFrame(
                     {

@@ -272,14 +272,22 @@ class Lake:
 
         path = self.table_path(name)
         tmp = path + "__tmp"
+        old = path + "__old"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
             os.path.join(tmp, "part-00000.parquet"),
         )
-        shutil.rmtree(path, ignore_errors=True)
+        # same rename-aside swap as compact(): the previous copy survives
+        # every crash point and _recover_compact() heals the window where
+        # the table path is briefly absent (a rmtree-before-replace here
+        # used to leave the table missing with data stranded at __tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(path):
+            os.replace(path, old)
         os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
         with self._lock:
             m = self._load_manifest()
             m["tables"][name] = {
@@ -302,7 +310,15 @@ class Lake:
         path = self.table_path(name)
         old = path + "__old"
         if os.path.isdir(old) and not os.path.isdir(path):
-            os.replace(old, path)
+            # concurrent readers can both pass the isdir checks (build_aggs
+            # runs three readers); the lock serializes them and the
+            # FileNotFoundError guard covers a racer that already healed
+            with self._lock:
+                try:
+                    if os.path.isdir(old) and not os.path.isdir(path):
+                        os.replace(old, path)
+                except FileNotFoundError:
+                    pass
 
     def read(self, name: str) -> DataFrame:
         if self.catalog:
