@@ -59,7 +59,8 @@ BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "sf-bench")
 # (worker configs, partition formula, budget semantics) — folded into the
 # history fingerprint so best_observed never pairs runs under different
 # measurement setups, while doc/report tweaks here don't reset history.
-BENCH_CONFIG_VERSION = "v3"
+# v4: run-until-stable worker loop + sequential budget reallocation.
+BENCH_CONFIG_VERSION = "v4"
 
 
 # --------------------------------------------------------------------------
@@ -153,6 +154,14 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
             elapsed = time.perf_counter() - t_start
             if len(runs) >= min_reps and elapsed + min(runs) > budget:
                 break
+            # run-until-stable: once the two best runs agree within 3%
+            # the min has converged to the warm steady state — stop and
+            # hand the unused budget to the slower configs (the
+            # orchestrator allocates sequentially from remaining time)
+            if len(runs) > min_reps:
+                a, b = sorted(runs)[:2]
+                if b <= a * 1.03:
+                    break
     finally:
         shutil.rmtree(lake, ignore_errors=True)
         shutil.rmtree(warm_lake, ignore_errors=True)
@@ -292,14 +301,21 @@ def main() -> int:
         return total_cap - (time.perf_counter() - t_start)
 
     def measure_pair(raw_dir: str, n_turns: int, n: int, n4: int,
-                     budget_4n: float, budget_n: float, tag: str) -> dict:
+                     frac_4n: float, frac_n: float, tag: str) -> dict:
+        """``frac_*`` are fractions of the budget REMAINING when each side
+        starts (sequential reallocation): a worker that run-until-stable
+        exits early automatically donates its unused slice to every later
+        config — this replaces the round-3 hand-tuned fixed slices."""
         warm = "/tmp/rtps_bench_warm_sf-unit"
         out4 = f"/tmp/rtps_bench_{tag}_4n.json"
         outn = f"/tmp/rtps_bench_{tag}_n.json"
+        margin = 30.0
+        budget_4n = max(frac_4n * max(remaining() - margin, 0.0), 60.0)
         pa = _run_worker(
             ["--worker", "pipeline", "--cores", str(n4), "--raw", raw_dir,
              "--warm", warm, "--budget", str(budget_4n)],
             out4, budget_4n + 90.0)
+        budget_n = max(frac_n * max(remaining() - margin, 0.0), 60.0)
         pb = _run_worker(
             ["--worker", "pipeline", "--cores", str(n), "--raw", raw_dir,
              "--warm", warm, "--budget", str(budget_n)],
@@ -343,16 +359,13 @@ def main() -> int:
     try:
         pair1 = os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")
         raw1, turns1 = ensure_bench_raw(BENCH_SCALE)
-        margin = 40.0
-        rem = max(remaining() - margin, 0.0)
-        # pair 1 gets ~40% of what's left, weighted toward its slow N side
-        # (its numbers are stable across 15+ recorded runs; the wide pair
-        # needs the larger share for cold-start + warm repeats on the 4x
-        # input)
-        b1 = rem * 0.40
+        # overall split (as fractions of rem at the time each side starts):
+        # pair 1 ~40% of phase B weighted to its slow N side, pair 2 the
+        # rest — same proportions as round 3, but each config now draws
+        # from what actually REMAINS, so stable-early exits roll forward
         result["pipeline"] = measure_pair(
             raw1, turns1, int(pair1[0]), int(pair1[1]),
-            budget_4n=b1 * 0.35, budget_n=b1 * 0.65, tag="p1")
+            frac_4n=0.14, frac_n=0.30, tag="p1")
         print(json.dumps(result), flush=True)  # partial: survives pair-2 death
     except Exception as exc:  # phase B must never zero out phase A
         result["pipeline"] = {"error": f"{type(exc).__name__}: {exc}"}
@@ -369,7 +382,7 @@ def main() -> int:
             raw2, turns2 = ensure_bench_raw(scale2)
             result["pipeline_wide"] = measure_pair(
                 raw2, turns2, int(pair2[0]), int(pair2[1]),
-                budget_4n=rem2 * 0.40, budget_n=rem2 * 0.60, tag="p2")
+                frac_4n=0.40, frac_n=1.0, tag="p2")
     except Exception as exc:
         result["pipeline_wide"] = {"error": f"{type(exc).__name__}: {exc}"}
 
@@ -393,9 +406,13 @@ def _code_fingerprint() -> str:
 
     h = hashlib.sha256()
     pkg = os.path.join(REPO, "racing_telemetry_pipeline_spark")
-    skip = os.sep + "queries" + os.sep  # query registry doesn't run in phase B
+    # subpackages that never execute in phase B: the query registry, the
+    # streaming variant, multimodal kernels
+    skips = tuple(
+        os.sep + d + os.sep for d in ("queries", "streaming", "multimodal")
+    )
     for f in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
-        if skip in f:
+        if any(s in f for s in skips):
             continue
         with open(f, "rb") as fh:
             h.update(fh.read())

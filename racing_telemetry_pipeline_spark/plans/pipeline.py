@@ -62,15 +62,28 @@ def _build_routed(
     from ..schemas import validate_raw
 
     raw = validate_raw(spark.read.parquet(raw_path))
+    return routed_from_ordinal(spark, add_ingest_ordinal(raw), settings, parse_engine)
 
-    # Stage order is chosen for ONE exchange total: dedup, anomaly flags and
-    # monotonic repair all window over conv_id with compatible sort orders,
-    # so Catalyst plans a single hashpartitioning(conv_id) + sort for the
-    # whole chain. The grok parse runs AFTER the windows as a pure
-    # projection — placing it between windows would sever the partitioning
-    # propagation through the ArrowEvalPython node and force a second full
-    # shuffle of every row (measured 6x slower at 10M turns).
-    df = add_ingest_ordinal(raw)
+
+def routed_from_ordinal(
+    spark: SparkSession,
+    df: DataFrame,
+    settings: PipelineSettings,
+    parse_engine: str,
+) -> DataFrame:
+    """parse->sync->enrich->route over a DataFrame that already carries the
+    ingest-ordinal columns. Shared by the batch plan (ordinal from the raw
+    scan's ``_metadata``) and the stream compactor (ordinal captured at
+    stream-read time and persisted in the bronze table) — byte-identical
+    semantics on both paths is what makes stream-then-compact == batch.
+
+    Stage order is chosen for ONE exchange total: dedup, anomaly flags and
+    monotonic repair all window over conv_id with compatible sort orders,
+    so Catalyst plans a single hashpartitioning(conv_id) + sort for the
+    whole chain. The grok parse runs AFTER the windows as a pure
+    projection — placing it between windows would sever the partitioning
+    propagation through the ArrowEvalPython node and force a second full
+    shuffle of every row (measured 6x slower at 10M turns)."""
     if settings.use_salted_sync:
         # skew-safe path: hot conversations are sub-bucketed by turn range
         # and stitched (operators/skew.py) — byte-identical results

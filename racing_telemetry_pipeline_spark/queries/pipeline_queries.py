@@ -38,15 +38,22 @@ def _raw_dir(scale: str = "sf-unit") -> str:
 
 
 def _code_fingerprint() -> str:
-    """Hash of package sources so a cached routed table is invalidated the
-    moment pipeline code changes (the cache lives in /tmp across runs)."""
+    """Hash of the sources that feed the routed build, so a cached routed
+    table is invalidated the moment pipeline code changes (the cache lives
+    in /tmp across runs). Scoped to the subpackages `_build_routed`
+    actually imports — a touch to the query registry, streaming, or
+    multimodal code must not rebuild the cache."""
     import racing_telemetry_pipeline_spark as pkg
 
     root = os.path.dirname(os.path.abspath(pkg.__file__))
+    skip = {"queries", "streaming", "multimodal"}
     h = hashlib.md5()
     for f in sorted(glob.glob(os.path.join(root, "**", "*.py"), recursive=True)):
+        rel = os.path.relpath(f, root)
+        if rel.split(os.sep)[0] in skip:
+            continue
         st = os.stat(f)
-        h.update(f"{os.path.relpath(f, root)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:10]
 
 

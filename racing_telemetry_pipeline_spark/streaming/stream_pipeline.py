@@ -198,6 +198,92 @@ def streaming_to_lake(
     return writer.start()
 
 
+def streaming_raw_to_lake(
+    spark: SparkSession,
+    source_dir: str,
+    lake_root: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    table: str = "raw_stream",
+):
+    """Bronze layer: append raw micro-batches to the lake UNmodified, each
+    row carrying its ingest ordinal (``_metadata.file_path`` / ``row_index``
+    captured at stream-read time — the file-source metadata column works on
+    ``readStream`` exactly as on batch scans). This is the layered-lake
+    ingest mode the module docstring defers exact repair to: the stream
+    lands data fast with per-batch exactly-once (same ledger + dynamic
+    partition overwrite as the routed sink), and ``compact_stream_to_routed``
+    later re-runs the ORDER-DEPENDENT batch stages (keep-last dedup,
+    monotonic repair) over the accumulated bronze rows.
+    """
+    from ..operators.dedup import INGEST_FILE, INGEST_POS
+    from ..sources.lake import Lake
+
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(source_dir)
+        .withColumn(INGEST_FILE, F.col("_metadata.file_path"))
+        .withColumn(INGEST_POS, F.col("_metadata.row_index"))
+    )
+    lake = Lake(spark, lake_root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if lake.batch_committed(table, batch_id):
+            return
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(lake.table_path(table))
+        )
+        lake.mark_batch(table, batch_id, partition_by=["batch_id"])
+
+    writer = (
+        raw.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{lake_root}/_checkpoints/{table}",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_stream_to_routed(
+    spark: SparkSession,
+    lake_root: str,
+    settings: PipelineSettings = DEFAULTS,
+    parse_engine: str = "builtin",
+    bronze_table: str = "raw_stream",
+    out_table: str = "routed_compacted",
+) -> DataFrame:
+    """The batch compactor over accumulated stream batches: re-runs the
+    exact keep-last dedup + time flags + monotonic repair + parse + enrich
+    + route chain (plans/pipeline.py `routed_from_ordinal`) on the bronze
+    table, keyed by the SAME ingest ordinal the batch pipeline reads from
+    ``_metadata`` — so the compacted output is byte-equal to running the
+    pure-batch pipeline on the original raw files
+    (tests/test_streaming.py::test_stream_then_compact_equals_batch).
+    Writes the routed table and returns it."""
+    from ..plans.pipeline import routed_from_ordinal
+    from ..sources.lake import Lake
+
+    lake = Lake(spark, lake_root)
+    bronze = lake.read(bronze_table).drop("batch_id")
+    routed = routed_from_ordinal(spark, bronze, settings, parse_engine)
+    lake.write(
+        routed,
+        out_table,
+        partition_by=["route"],
+        sort_within=["route", "conv_id", "turn_idx"],
+    )
+    return lake.read(out_table)
+
+
 def streaming_tool_stats(routed: DataFrame, window: str = "5 minutes") -> DataFrame:
     """Event-time tumbling-window tool-call stats (A1 analog, streaming)."""
     return (

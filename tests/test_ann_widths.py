@@ -187,3 +187,44 @@ def test_ivf_assign_dispatch(spark, clustered_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ShuffledHashJoin" in wide_plan or "SortMergeJoin" in wide_plan
+
+
+def test_production_widths_hit_bucket_and_recall_together(spark, iso_dir):
+    """Round-3 verdict task: run the END-TO-END sim7 index at the widths
+    ``ann_widths`` actually picks (not the toy defaults) and gate bucket
+    size AND retrieval recall in the SAME configuration — the halving law
+    and recall were previously asserted in separate setups. target=256 on
+    the 4k corpus selects 4 planes/band (2x the toy default)."""
+    target = 256
+    w = ann_widths(N_VECS, target_bucket=target)
+    assert w["planes_per_band"] == 4  # the picker, not a hand-set width
+
+    sig = lsh_signatures(
+        _emb_double(spark, iso_dir), n_planes=w["n_bands"] * w["planes_per_band"]
+    )
+    banded = _banded_keys(
+        sig, n_bands=w["n_bands"], planes_per_band=w["planes_per_band"]
+    )
+    mx = int(
+        banded.groupBy("band", "key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert mx <= 2.5 * target, f"max bucket {mx} vs target {target}"
+
+    vecs = np.stack(
+        pq.read_table(f"{iso_dir}/embeddings.parquet")
+        .column("embedding")
+        .to_pandas()
+        .map(lambda a: np.asarray(a, np.float64))
+    )
+    exact = _exact_topk(vecs, n_query=20, k=3)
+    approx = {
+        (r.qid, r.nid)
+        for r in ann_topk(
+            spark,
+            iso_dir,
+            n_bands=w["n_bands"],
+            planes_per_band=w["planes_per_band"],
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} at widths {w}"

@@ -355,3 +355,34 @@ def test_stateful_conversation_tracker(spark, raw_unit, oracle_unit):
     )
     assert got["n_turns"].to_dict() == want["n_turns"].to_dict()
     assert got["n_tool"].to_dict() == want["n_tool"].to_dict()
+
+
+def test_stream_then_compact_equals_batch(spark, raw_unit, tmp_path):
+    """Round-3 verdict task #5: the layered-lake story closed end-to-end.
+    Raw files stream into the bronze table (append, exactly-once by batch
+    id, ingest ordinal captured at stream-read time), then the batch
+    compactor re-runs keep-last dedup + monotonic repair + parse + route
+    over the accumulated batches — and the result equals the pure-batch
+    pipeline on the same raw files on EVERY column, including the
+    order-dependent ones streaming cannot compute (dedup winner text,
+    dt_sec, segment_id, ts_sync)."""
+    from racing_telemetry_pipeline_spark.config import DEFAULTS
+    from racing_telemetry_pipeline_spark.plans.pipeline import _build_routed
+    from racing_telemetry_pipeline_spark.streaming.stream_pipeline import (
+        compact_stream_to_routed,
+        streaming_raw_to_lake,
+    )
+
+    lake_root = str(tmp_path / "clake")
+    q = streaming_raw_to_lake(spark, raw_unit, lake_root)
+    q.awaitTermination(120)
+
+    got = compact_stream_to_routed(spark, lake_root).toPandas()
+    want = _build_routed(spark, raw_unit, DEFAULTS, "builtin").toPandas()
+
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    key = ["conv_id", "turn_idx"]
+    g = got[cols].sort_values(key).reset_index(drop=True)
+    w = want[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_like=True)
