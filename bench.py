@@ -8,11 +8,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 Phase B evidences the north rule's two-cluster-size criterion in-sandbox
 with TWO pairs: the full transcript pipeline (parse->sync->enrich->route->
 aggregate, Arrow grok UDF path) at local[1] vs local[4] on ~11M turns
-(pair 1, the official N-vs-4N record) and at local[4] vs local[16] on ~44M
-turns (pair 2, round-3: the wider 100x-cluster evidence — the 4x input
-keeps the ~10s/run fixed driver cost a small fraction of even the 16-core
-wall); efficiency = (T_N / T_4N) / (N4/N). Every phase budget derives from
-$SPARK_GRAFT_BENCH_CAP (default 1080s) minus elapsed time, so the cap is a
+(pair 1, the official N-vs-4N record) and at local[4] vs local[16] on ~58M
+turns (pair 2, the wider 100x-cluster evidence — the input is sized so the
+~10s/run fixed driver cost is a small fraction of even the 16-core wall);
+efficiency = (T_N / T_4N) / (N4/N). Every phase budget derives from
+$SPARK_GRAFT_BENCH_CAP (default 1500s) minus elapsed time, so the cap is a
 real wall (within one worker grace window). Results also written to
 BENCH.md.
 
@@ -122,9 +122,9 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
     lake = f"{base}/rtps_bench_lake_{cores}_{os.getpid()}"
     warm_lake = f"{lake}_warm"
     # Shuffle partition count follows the DATA, floored at the core count
-    # (AQE coalesces the excess): at 44M turns a 4-core run with
-    # partitions=cores sorts ~11M rows per partition and spills, while 16
-    # cores doesn't — the pair would then measure spill behavior, not
+    # (AQE coalesces the excess): with partitions=cores a 4-core run at
+    # the wide-pair input sorts >10M rows per partition and spills, while
+    # 16 cores doesn't — the pair would then measure spill behavior, not
     # compute scaling. ~3M rows/partition ~ 250MB of wide shuffle rows.
     rows = 0
     meta = os.path.join(raw_dir, "_meta.json")
@@ -255,12 +255,13 @@ def main() -> int:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     # Wall cap for the whole script: every phase budget derives from what
     # remains of it, so the true worst case is cap + one worker grace
-    # window (90s). 1400 is sized so every config of both pairs gets its
-    # cold first run (~200-250s at 44M turns: one-time per-JVM cost that
+    # window (90s). 1500 is sized so every config of both pairs gets its
+    # cold first run (~200-300s at 58M turns: one-time per-JVM cost that
     # neither a warm-up pipeline nor -Xms/-XX:+AlwaysPreTouch removes —
     # measured) PLUS at least two warm runs, since the reported number is
-    # the min over warm repeats.
-    total_cap = float(os.environ.get("SPARK_GRAFT_BENCH_CAP", "1400"))
+    # the min over warm repeats; run-until-stable exits hand unused time
+    # to the later, slower configs.
+    total_cap = float(os.environ.get("SPARK_GRAFT_BENCH_CAP", "1500"))
 
     result: dict = {
         "metric": "headline_queries_total_sec",
@@ -272,12 +273,21 @@ def main() -> int:
     }
 
     # ---- phase A: headline queries (one subprocess) ----
+    # manual best-observed accumulation runs can target a single phase
+    # (e.g. SPARK_GRAFT_BENCH_SKIP=queries,p1 re-measures only the wide
+    # pair); the driver's default invocation sets nothing and runs all
+    skip = set(
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    )
+
     tmp_out = "/tmp/rtps_bench_queries.json"
-    queries = _run_worker(
-        ["--worker", "queries", "--sf-dir", sf_dir, "--cpus", str(cpus)],
-        tmp_out,
-        timeout=min(420.0, total_cap * 0.5),
-    ) or {}
+    queries = {}
+    if "queries" not in skip:
+        queries = _run_worker(
+            ["--worker", "queries", "--sf-dir", sf_dir, "--cpus", str(cpus)],
+            tmp_out,
+            timeout=min(420.0, total_cap * 0.5),
+        ) or {}
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3) if queries else None
     print(json.dumps(result), flush=True)  # partial: survives a phase-B crash
@@ -291,7 +301,7 @@ def main() -> int:
     # sf-bench (~11M turns) — this input amortizes the ~10s/job fixed
     # driver cost at these widths.
     # pair 2 (round-3: the wider 100x-cluster evidence): local[4] vs
-    # local[16] on sf-scaling (~44M turns) — sized so the fixed cost is a
+    # local[16] on sf-scaling (~58M turns) — sized so the fixed cost is a
     # small fraction of even the 16-core wall; residual in-window noise is
     # carried to steady state by best_observed across BENCH_HISTORY.
     #
@@ -358,14 +368,18 @@ def main() -> int:
 
     try:
         pair1 = os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")
-        raw1, turns1 = ensure_bench_raw(BENCH_SCALE)
-        # overall split (as fractions of rem at the time each side starts):
-        # pair 1 ~40% of phase B weighted to its slow N side, pair 2 the
-        # rest — same proportions as round 3, but each config now draws
-        # from what actually REMAINS, so stable-early exits roll forward
-        result["pipeline"] = measure_pair(
-            raw1, turns1, int(pair1[0]), int(pair1[1]),
-            frac_4n=0.14, frac_n=0.30, tag="p1")
+        if "p1" in skip:
+            result["pipeline"] = {"skipped": "SPARK_GRAFT_BENCH_SKIP"}
+        else:
+            raw1, turns1 = ensure_bench_raw(BENCH_SCALE)
+            # overall split (as fractions of rem at the time each side
+            # starts): pair 1 ~40% of phase B weighted to its slow N side,
+            # pair 2 the rest — same proportions as round 3, but each
+            # config now draws from what actually REMAINS, so stable-early
+            # exits roll forward
+            result["pipeline"] = measure_pair(
+                raw1, turns1, int(pair1[0]), int(pair1[1]),
+                frac_4n=0.14, frac_n=0.30, tag="p1")
         print(json.dumps(result), flush=True)  # partial: survives pair-2 death
     except Exception as exc:  # phase B must never zero out phase A
         result["pipeline"] = {"error": f"{type(exc).__name__}: {exc}"}

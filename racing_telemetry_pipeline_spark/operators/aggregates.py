@@ -50,23 +50,33 @@ def tool_call_frequency(routed: DataFrame, approx: bool = False) -> DataFrame:
     )
 
 
-def role_latency_percentiles(routed: DataFrame, approx: bool = False) -> DataFrame:
+def role_latency_percentiles(
+    routed: DataFrame, approx: bool = False, bucket_turns: int = 32768
+) -> DataFrame:
     """Per-role inter-turn latency percentiles over non-quarantined rows.
 
     latency = ts_sync - previous non-quarantined turn's ts_sync within the
-    conversation (window over conv_id ordered by turn_idx).
+    conversation. The lag runs SKEW-SAFE (operators/skew.py
+    ``salted_prev_ts_us``): windows execute within (conv, turn-range
+    bucket) and bucket boundaries are stitched through a tiny per-bucket
+    summary, so a hot conversation holding millions of turns never becomes
+    a single straggler task — the same discipline the parse->sync chain
+    applies, byte-identical to the plain conv-wide lag
+    (tests/test_skew.py::test_salted_prev_us_matches_plain_lag).
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    from .skew import salted_prev_ts_us
+
     flow = (
-        routed.filter(F.col("route") != "quarantine")
+        salted_prev_ts_us(
+            routed.filter(F.col("route") != "quarantine"),
+            ts_col="ts_sync",
+            bucket_turns=bucket_turns,
+        )
         .withColumn(
             "turn_latency_sec",
-            (
-                F.unix_micros(F.col("ts_sync").cast("timestamp"))
-                - F.lag(F.unix_micros(F.col("ts_sync").cast("timestamp"))).over(w)
-            )
-            / F.lit(1_000_000.0),
+            (F.col("_us") - F.col("_prev_us")) / F.lit(1_000_000.0),
         )
+        .drop("_us", "_prev_us")
         .filter(F.col("turn_latency_sec").isNotNull())
     )
 

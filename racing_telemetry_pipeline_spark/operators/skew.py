@@ -161,3 +161,55 @@ def salted_parse_sync(
 def _flag(prev_us, cur_us, gap_sec: float, tol_sec: float):
     dt = (cur_us - prev_us) / F.lit(1_000_000.0)
     return F.coalesce((dt < -tol_sec) | (dt > gap_sec), F.lit(False))
+
+
+def salted_prev_ts_us(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts_sync",
+    bucket_turns: int = 32768,
+    out_col: str = "_prev_us",
+    us_col: str = "_us",
+) -> DataFrame:
+    """Skew-safe ``lag(unix_micros(ts))`` over (conv, turn order).
+
+    Same turn-range sub-segmentation + boundary stitch as
+    ``salted_parse_sync``, reduced to the single lag value: rows window
+    within (conv, bucket), a per-bucket summary carries each bucket's last
+    timestamp, and the first row of every bucket takes the PREVIOUS
+    EXISTING bucket's last value from a tiny window over the summary — so
+    rows filtered out upstream (e.g. quarantined turns dropped before a
+    latency lag) never break the chain, and no task ever sorts more than
+    ~bucket_turns rows of one conversation. Byte-identical to the plain
+    ``lag`` (asserted in tests/test_skew.py).
+
+    Adds ``us_col`` (the row's own µs value) and ``out_col`` (the lag);
+    caller computes deltas and drops both.
+    """
+    conv = F.col(conv_col)
+    df = df.withColumn(BUCKET_COL, F.floor(F.col(order_col) / bucket_turns))
+    w_o = Window.partitionBy(conv_col, BUCKET_COL).orderBy(order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = (
+        df.withColumn(us_col, us)
+        .withColumn("_prev_us_in", F.lag(us_col).over(w_o))
+        .withColumn("_rn_in", F.row_number().over(w_o))
+    )
+    summ = df.groupBy(conv_col, BUCKET_COL).agg(
+        F.max_by(us_col, F.col(order_col)).alias("_last_us")
+    )
+    w_s = Window.partitionBy(conv_col).orderBy(BUCKET_COL)
+    summ = summ.withColumn("_prev_last_us", F.lag("_last_us").over(w_s))
+    # same non-broadcast discipline as salted_parse_sync: the summary grows
+    # with conv count; shuffle_hash + AQE keeps the join safe at any scale
+    df = df.join(
+        summ.select(conv_col, BUCKET_COL, "_prev_last_us").hint("shuffle_hash"),
+        [conv_col, BUCKET_COL],
+    )
+    prev = F.when(F.col("_rn_in") == 1, F.col("_prev_last_us")).otherwise(
+        F.col("_prev_us_in")
+    )
+    return df.withColumn(out_col, prev).drop(
+        BUCKET_COL, "_prev_us_in", "_rn_in", "_prev_last_us"
+    )

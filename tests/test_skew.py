@@ -69,3 +69,74 @@ def test_salted_no_conv_straggler_partition(spark, raw_unit):
         .collect()[0][0]
     )
     assert n_buckets > 1
+
+
+def test_salted_prev_us_matches_plain_lag(spark, raw_unit):
+    """The skew-safe lag behind role_latency_percentiles must equal the
+    plain conv-wide lag — including across rows removed by an upstream
+    filter (the quarantine drop), where the previous EXISTING row may sit
+    several buckets back."""
+    from pyspark.sql import Window
+
+    from racing_telemetry_pipeline_spark.operators.skew import salted_prev_ts_us
+
+    base = _plain(spark, raw_unit)
+    # emulate the role-latency call shape: filter some rows first, then lag
+    filtered = base.filter(F.col("turn_idx") % 7 != 3)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts_sync").cast("timestamp"))
+    want = (
+        filtered.withColumn("_want", F.lag(us).over(w))
+        .select("conv_id", "turn_idx", "_want")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    for bucket_turns in (16, 32768):
+        got = (
+            salted_prev_ts_us(filtered, ts_col="ts_sync", bucket_turns=bucket_turns)
+            .select("conv_id", "turn_idx", F.col("_prev_us").alias("_want"))
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_role_latency_salted_equals_unsalted_window(spark, raw_unit):
+    """role_latency_percentiles (salted lag) must reproduce the reference
+    formulation exactly: a plain conv-wide window over non-quarantined
+    rows, grouped per role with exact percentiles."""
+    from pyspark.sql import Window
+
+    from racing_telemetry_pipeline_spark.config import DEFAULTS
+    from racing_telemetry_pipeline_spark.operators.aggregates import (
+        role_latency_percentiles,
+    )
+    from racing_telemetry_pipeline_spark.plans.pipeline import _build_routed
+
+    routed = _build_routed(spark, raw_unit, DEFAULTS, "builtin")
+    got = role_latency_percentiles(routed, bucket_turns=16).toPandas()
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts_sync").cast("timestamp"))
+    flow = (
+        routed.filter(F.col("route") != "quarantine")
+        .withColumn("turn_latency_sec", (us - F.lag(us).over(w)) / F.lit(1e6))
+        .filter(F.col("turn_latency_sec").isNotNull())
+    )
+    want = (
+        flow.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.expr("percentile(turn_latency_sec, array(0.5, 0.95, 0.99))").alias("_p"),
+        )
+        .select(
+            "role",
+            "n_turns",
+            F.round(F.col("_p")[0], 6).alias("p50_latency_sec"),
+            F.round(F.col("_p")[1], 6).alias("p95_latency_sec"),
+            F.round(F.col("_p")[2], 6).alias("p99_latency_sec"),
+        )
+        .orderBy("role")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
