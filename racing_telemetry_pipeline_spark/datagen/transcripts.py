@@ -61,10 +61,19 @@ def _conv_lengths(scale: Scale, rng: np.random.Generator) -> np.ndarray:
     return base.astype(np.int64)
 
 
+_LS = pa.large_string()
+
+
 def _join(*parts) -> pa.Array:
     """Element-wise concat; the last positional arg of the arrow kernel is
-    the separator."""
-    return pc.binary_join_element_wise(*parts, "")
+    the separator. Every input (arrays AND literals) is coerced to
+    large_string so the output offsets are 64-bit — at the wide-pair scale
+    (~58M rows) the assembled text column exceeds the 2 GB limit of 32-bit
+    string offsets INSIDE these kernels (round-4: 'offset overflow while
+    concatenating arrays'), not just at the final concat the schema cast
+    below used to cover."""
+    conv = [pa.scalar(p, _LS) if isinstance(p, str) else p for p in parts]
+    return pc.binary_join_element_wise(*conv, pa.scalar("", _LS))
 
 
 def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pa.Table:
@@ -113,14 +122,14 @@ def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pa.Tabl
     latency_ms = np.where(negative_mask, -5, latency_ms)
 
     # --- text assembly (arrow kernels, no per-row Python) ---
-    turn_s = pc.cast(pa.array(turn_idx), pa.string())
-    filler = pa.array(np.asarray(_FILLERS)[turn_idx % len(_FILLERS)])
+    turn_s = pc.cast(pa.array(turn_idx), _LS)
+    filler = pc.cast(pa.array(np.asarray(_FILLERS)[turn_idx % len(_FILLERS)]), _LS)
     base_text = _join("turn ", turn_s, ": ", filler)
-    tool_pa = pa.array(tool)
+    tool_pa = pc.cast(pa.array(tool), _LS)
     tool_text = _join(
         'calling <tool_call name="', tool_pa,
-        '" args_bytes=', pc.cast(pa.array(args_bytes), pa.string()),
-        " latency_ms=", pc.cast(pa.array(latency_ms), pa.string()),
+        '" args_bytes=', pc.cast(pa.array(args_bytes), _LS),
+        " latency_ms=", pc.cast(pa.array(latency_ms), _LS),
         "/> ok",
     )
     bad_tool_text = _join(
@@ -130,14 +139,14 @@ def generate_transcripts(scale_name: str = "sf-unit", seed: int = 42) -> pa.Tabl
     text = pc.if_else(pa.array(malformed_mask), bad_tool_text, text)
     event_mask = (~is_tool) & (rng.random(n) < 0.05)
     event_tag = _join(
-        " [event:", pa.array(np.asarray(_EVENT_KINDS)[turn_idx % 4]), "]"
+        " [event:", pc.cast(pa.array(np.asarray(_EVENT_KINDS)[turn_idx % 4]), _LS), "]"
     )
     text = pc.if_else(pa.array(event_mask), _join(text, event_tag), text)
 
     table = pa.table(
         {
             "conv_id": _join("conv-", pc.utf8_lpad(
-                pc.cast(pa.array(conv_num), pa.string()), 6, "0")),
+                pc.cast(pa.array(conv_num), _LS), 6, "0")),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(role),
             "text": text,
