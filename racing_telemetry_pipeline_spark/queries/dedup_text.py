@@ -512,6 +512,51 @@ FROM documents GROUP BY lang
 """
 
 
+def tx5_length_quantiles(spark, sf_dir):
+    """EXACT interpolated length quantiles per source — via a bounded
+    histogram, not a per-group sort or sketch. For an integer-valued
+    column the (group, value) histogram collapses 10^12 rows map-side into
+    |groups| x |distinct values| rows; exact quantile_cont semantics are
+    then a cumulative-count window + linear interpolation over that tiny
+    table. This is the sketch-free exact-quantile technique for
+    integer/low-cardinality measures at 100 TB (the percentile sketch in
+    operators/aggregates.py remains the path for continuous measures).
+    Training-data use: document-length distribution per source feeds the
+    length-based quality filters (tx2)."""
+    docs = t(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    hist = (
+        hist.withColumn("cum_end", F.sum("cnt").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("source")))
+    )
+    aggs = []
+    for tag, q in (("p25_chars", 0.25), ("p50_chars", 0.50), ("p95_chars", 0.95)):
+        pos = F.lit(q) * (F.col("n") - 1)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        v_lo = F.max(
+            F.when((F.col("cum_start") <= lo) & (lo < F.col("cum_end")), F.col("n_chars"))
+        )
+        v_hi = F.max(
+            F.when((F.col("cum_start") <= hi) & (hi < F.col("cum_end")), F.col("n_chars"))
+        )
+        frac = F.max(pos - lo)
+        aggs.append(F.round(v_lo + (v_hi - v_lo) * frac, 6).alias(tag))
+    return hist.groupBy("source").agg(
+        F.max("n").alias("n_docs"), *aggs
+    )
+
+
+TX5_SQL = """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+FROM documents GROUP BY source
+"""
+
+
 
 
 # --- near-dup clustering: connected components over candidate pairs ----------
@@ -623,6 +668,7 @@ QUERIES = {
     "tx2_quality_score": (tx2_quality_score, TX2_SQL),
     "tx3_token_stats": (tx3_token_stats, TX3_SQL),
     "tx4_fingerprint": (tx4_fingerprint, TX4_SQL),
+    "tx5_length_quantiles": (tx5_length_quantiles, TX5_SQL),
     "dd6_dedup_clusters": (dd6_dedup_clusters, DD6_SQL),
     # same clusters, same oracle — different (scale-path) algorithm
     "dd7_cc_bigstar": (dd7_cc_bigstar, DD6_SQL),
