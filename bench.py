@@ -133,7 +133,12 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
         with open(meta) as fh:
             rows = json.load(fh).get("rows", 0)
     sp = max(cores, 8, rows // 3_000_000)
-    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=sp)
+    spark = get_spark(
+        f"bench-{cores}", cores=cores, shuffle_partitions=sp,
+        # a Python worker crash at local[] kills the whole run
+        # (task.maxFailures=1); keep the traceback for the retry log
+        extra_conf={"spark.python.worker.faulthandler.enabled": "true"},
+    )
     t_start = time.perf_counter()
     runs: list[float] = []
     try:
@@ -143,11 +148,27 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
             run_pipeline(spark, warm_dir, warm_lake, resume=False,
                          approx_percentiles=True)
         spark.read.parquet(raw_dir).limit(10).collect()
+        fails = 0
         while len(runs) < max_reps:
             shutil.rmtree(lake, ignore_errors=True)
             t0 = time.perf_counter()
-            run_pipeline(spark, raw_dir, lake, resume=False,
-                         approx_percentiles=True)
+            try:
+                run_pipeline(spark, raw_dir, lake, resume=False,
+                             approx_percentiles=True)
+            except Exception as exc:
+                # local[] runs with task.maxFailures=1: a single Python
+                # worker crash (transient — fresh workers respawn on the
+                # next job) kills the whole run; keep measuring instead of
+                # abandoning the config with only its cold run recorded
+                fails += 1
+                sys.stderr.write(
+                    f"[worker] run failed ({type(exc).__name__}: {exc}); "
+                    f"retry {fails}/3\n")
+                if fails >= 3:
+                    raise
+                if time.perf_counter() - t_start > budget:
+                    break
+                continue
             runs.append(time.perf_counter() - t0)
             with open(out, "w") as fh:
                 json.dump({"sec": min(runs),
