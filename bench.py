@@ -410,7 +410,9 @@ def main() -> int:
         pair2 = os.environ.get("SPARK_GRAFT_SCALE_CORES2", "4,16").split(",")
         scale2 = os.environ.get("SPARK_GRAFT_BENCH_SCALE2", "sf-scaling")
         rem2 = max(remaining() - 30.0, 0.0)
-        if rem2 < 120.0:
+        if "p2" in skip:
+            result["pipeline_wide"] = {"skipped": "SPARK_GRAFT_BENCH_SKIP"}
+        elif rem2 < 120.0:
             result["pipeline_wide"] = {
                 "skipped": f"cap exhausted ({rem2:.0f}s left < 120s floor)"
             }
