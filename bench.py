@@ -59,9 +59,10 @@ BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "sf-bench")
 # (worker configs, partition formula, budget semantics) — folded into the
 # history fingerprint so best_observed never pairs runs under different
 # measurement setups, while doc/report tweaks here don't reset history.
-# v5: cold-aware budget split — the 58M-input 16-core side needs
-# cold (~280s) + two warm runs inside its slice; pair 1 trimmed to fit.
-BENCH_CONFIG_VERSION = "v5"
+# v6: shuffle partitions rounded up to a full multiple of the cores —
+# 19 partitions on 16 cores ran the big stages in 1.2 waves (wave 2 on
+# 3/16 cores), a pure wide-side tax introduced by the 58M input.
+BENCH_CONFIG_VERSION = "v6"
 
 
 # --------------------------------------------------------------------------
@@ -132,7 +133,13 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
     if os.path.exists(meta):
         with open(meta) as fh:
             rows = json.load(fh).get("rows", 0)
-    sp = max(cores, 8, rows // 3_000_000)
+    # ... and ROUNDED UP to a multiple of the core count: a partition
+    # count like 19 on 16 cores runs the big stages in 1.2 waves - wave 2
+    # uses 3 of 16 cores, inflating the 16-core wall ~20% (exactly what
+    # the round-4 58M-turn input produced). Full waves keep every core
+    # busy through the stage at any rows/cores combination.
+    k = max(8, rows // 3_000_000)
+    sp = cores * -(-k // cores)
     spark = get_spark(
         f"bench-{cores}", cores=cores, shuffle_partitions=sp,
         # a Python worker crash at local[] kills the whole run
