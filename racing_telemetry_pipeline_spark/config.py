@@ -67,13 +67,13 @@ SCALES: dict[str, Scale] = {
     "sf-unit": Scale("sf-unit", n_convs=50, mean_turns=40, n_hot=1),
     "sf-small": Scale("sf-small", n_convs=900, mean_turns=220, n_hot=2),
     "sf-bench": Scale("sf-bench", n_convs=9000, mean_turns=900, n_hot=3),
-    # the wide (local[4] vs local[16]) bench pair input: sized so the
-    # ~10s/run fixed driver cost (plan+schedule+commit across the run's
-    # jobs — measured via the Amdahl fit t(p) = s + c/p on round-4
-    # profiles) is a small fraction of even the 16-core wall and the
-    # pair's efficiency reflects compute scaling. Round 4 grew it 36000
-    # -> 48000 convs (~58M turns): at 44M turns the 16-core wall was
-    # ~44s of which ~10s fixed, capping the pair at ~0.76 no matter how
-    # well compute scaled.
-    "sf-scaling": Scale("sf-scaling", n_convs=48000, mean_turns=900, n_hot=3),
+    # the wide (local[4] vs local[16]) bench pair input. Sizing is a
+    # measured tradeoff (round 4): the ~10s/run fixed driver cost argues
+    # for a BIGGER input (at 44M turns it caps the pair at ~0.76), but a
+    # 48000-conv (~58M turn) variant pushed the 16-thread config into the
+    # host's shared DRAM-bandwidth ceiling — its per-row cost rose 20%
+    # while local[4]'s stayed flat, NET-WORSENING the ratio to ~0.63. A
+    # real cluster adds memory channels with every node; one box cannot.
+    # 36000 convs (~44M turns) is the sweet spot on this host.
+    "sf-scaling": Scale("sf-scaling", n_convs=36000, mean_turns=900, n_hot=3),
 }
