@@ -29,25 +29,26 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic fake media payload derived from a text column.
 
     Stands in for the real binary ingestion path; payload bytes are
-    md5(text) repeated, media metadata derived from the md5-based 64-bit
-    hash (same hash DuckDB can compute — keeps the mm1 driver oracle in
-    lockstep, see queries/multimodal_q.py).
+    md5(text) repeated, media metadata derived from the repo-wide signed
+    64-bit hash (functions/hash64.py — the same value DuckDB computes,
+    keeping the mm1 driver oracle in lockstep, see queries/multimodal_q.py).
+    The hash is signed, so bucketing uses ``F.pmod``.
     """
+    from ..functions.hash64 import hash64
+
     h = F.unhex(F.md5(F.col(text_col).cast("binary")))
-    h64 = F.conv(
-        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 15), 16, 10
-    ).cast("long")
+    h64 = hash64(F.col(text_col))
     return (
         df.withColumn("payload", F.concat(h, h, h, h))
         .withColumn(
             "media_type",
             F.element_at(
                 F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav")),
-                (h64 % 3 + 1).cast("int"),
+                (F.pmod(h64, F.lit(3)) + 1).cast("int"),
             ),
         )
-        .withColumn("width", (h64 % 64 + 16).cast("int"))
-        .withColumn("height", (h64 % 48 + 16).cast("int"))
+        .withColumn("width", (F.pmod(h64, F.lit(64)) + 16).cast("int"))
+        .withColumn("height", (F.pmod(h64, F.lit(48)) + 16).cast("int"))
         .withColumn("n_bytes", F.length("payload").cast("long"))
     )
 

@@ -31,18 +31,29 @@ def turns_per_conversation(routed: DataFrame) -> DataFrame:
     )
 
 
-def tool_call_frequency(routed: DataFrame, approx: bool = False) -> DataFrame:
+def tool_call_frequency(
+    routed: DataFrame, approx: bool = False, exact_sums: bool = False
+) -> DataFrame:
+    """``exact_sums=True`` swaps the rounded latency average for an exact
+    BIGINT sum (avg = sum/n is recoverable) — the hash-gate form: a rounded
+    quotient can terminate exactly on a round-half boundary where Spark's
+    decimal HALF_UP and DuckDB's binary rounding disagree."""
     pct = (
         F.percentile_approx("latency_ms", 0.95)
         if approx
         else F.expr("percentile(latency_ms, 0.95)")
+    )
+    latency_stat = (
+        F.sum("latency_ms").alias("sum_latency_ms")
+        if exact_sums
+        else F.round(F.avg("latency_ms"), 4).alias("avg_latency_ms")
     )
     return (
         routed.filter(F.col("route") == "tool_events")
         .groupBy("tool_name")
         .agg(
             F.count("*").alias("n_calls"),
-            F.round(F.avg("latency_ms"), 4).alias("avg_latency_ms"),
+            latency_stat,
             F.round(pct, 4).alias("p95_latency_ms"),
             F.sum("args_bytes").alias("total_args_bytes"),
         )

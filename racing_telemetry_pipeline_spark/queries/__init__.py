@@ -17,6 +17,9 @@ subsumed by a kept entry — and which already carry two driver-green rounds
   o1/j3/a10         -> per-group-topk / anti-join / rollup shapes covered
                        by q3 (O-family), w7 (J3 grid join), a3 (rollup)
   dd3               -> MinHash signatures consumed (and hash-verified) by dd4
+  dd5               -> (round 5, making room for tx5) SimHash signatures
+                       consumed and hash-verified by dd8's band pairs —
+                       the same subsumption rationale as dd3 -> dd4
   dd7               -> identical query+oracle to dd6 now that cc_bigstar is
                        dd6's default kernel
   sim2/sim3/sim4    -> LSH signatures/bucket-stats/norms consumed by sim5/sim7
@@ -69,12 +72,12 @@ CURATED = [
     "dd1_exact_dedup",
     "dd2_ngram_jaccard_pairs",
     "dd4_minhash_band_pairs",
-    "dd5_simhash",
     "dd8_simhash_hamming_pairs",
     "tx1_language_id",
     "tx2_quality_score",
     "tx3_token_stats",
     "tx4_fingerprint",
+    "tx5_length_quantiles",
     "dd6_dedup_clusters",
     # similarity search (5)
     "sim1_cosine_topk",

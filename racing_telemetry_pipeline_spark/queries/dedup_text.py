@@ -44,25 +44,10 @@ def _words(df: DataFrame) -> DataFrame:
     )
 
 
-def _doc_hash64(col):
-    """Signed 64-bit hash from the first 16 hex digits of md5.
-
-    Built as hi_signed * 2^32 + lo (hi/lo = 8 hex digits each): hi_signed
-    spans [-2^31, 2^31-1], so the product + lo covers the full signed
-    int64 range with no intermediate overflow on either engine."""
-    md = F.md5(col.cast("binary"))
-    hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
-    hi_signed = hi - F.when(hi >= F.lit(2**31), F.lit(2**32)).otherwise(F.lit(0))
-    return hi_signed * F.lit(2**32) + lo
-
-
-_HASH64_SQL = (
-    "((('0x' || substr(md5({x}), 1, 8))::bigint"
-    " - CASE WHEN ('0x' || substr(md5({x}), 1, 8))::bigint >= 2147483648"
-    " THEN 4294967296 ELSE 0 END) * 4294967296"
-    " + ('0x' || substr(md5({x}), 9, 8))::bigint)"
-)
+# The shared cross-engine signed 64-bit hash (functions/hash64.py) under
+# this module's historical local names.
+from ..functions.hash64 import HASH64_SQL as _HASH64_SQL  # noqa: E402
+from ..functions.hash64 import hash64 as _doc_hash64  # noqa: E402
 
 
 # --- exact dedup (hash groupBy) ----------------------------------------------
@@ -118,10 +103,18 @@ def dd2_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
         .distinct()
     )
+    # df-count pre-filter BEFORE collect_list: the window count buffers
+    # rows in Spark's spillable sorter and drops hot boilerplate shingles
+    # (df > MAX_SHINGLE_DF, potentially 10^6+ docs at corpus scale) without
+    # ever materializing their doc-list in an aggregation buffer — filtering
+    # on F.size AFTER the agg would build the multi-million-element array
+    # first. The window's hashpartitioning(shingle) exchange is exactly the
+    # one the groupBy needs, so this stays a single shuffle of shingle rows.
     grouped = (
-        sh.groupBy("shingle")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") <= MAX_SHINGLE_DF)
     )
     sizes = (
         grouped.select(F.explode("ids").alias("doc_id"))
@@ -571,12 +564,17 @@ MIN_SHARED_SHINGLES = 3
 def _candidate_edges(spark, sf_dir):
     # same no-self-join shape as dd2: group each shingle hash's doc-list
     # (stop-shingle cap bounds it at MAX_SHINGLE_DF) and explode ordered
-    # pairs array-side — one pass over the shingle rows
+    # pairs array-side — one pass over the shingle rows. As in dd2, the
+    # df-count window runs BEFORE collect_list so a hot shingle is dropped
+    # from the spillable window sorter, never materialized as a giant array
+    # in one aggregation buffer; the window exchange on h is the same one
+    # the groupBy reuses.
     grouped = (
         _shingle_hashes(spark, sf_dir)
+        .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_SHINGLE_DF))
         .groupBy("h")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
     )
     pair_expr = (
         "flatten(transform(sids, (x, i) -> "

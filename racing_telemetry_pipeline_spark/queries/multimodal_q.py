@@ -12,10 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.hash64 import HASH64_SQL, pmod_sql
 from ..multimodal.binary_ops import attach_fake_payload
 from .common import t
 
-_H64 = "(('0x' || substr(md5(text), 1, 15))::bigint)"
+# the repo-wide 64-bit hash (signed -> pmod for bucketing), matching
+# attach_fake_payload's Spark-side hash64 exactly
+_H64 = HASH64_SQL.format(x="text")
 
 
 def mm1_payload_features(spark, sf_dir):
@@ -43,12 +46,12 @@ SELECT source, media_type, count(*) AS n_docs,
        cast(sum(width) AS bigint) AS sum_width
 FROM (
   SELECT source,
-         CASE ({_H64} % 3)
+         CASE ({pmod_sql(_H64, 3)})
            WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
            ELSE 'audio/wav' END AS media_type,
          64::bigint AS n_bytes,
          upper(substr(md5(text), 1, 8)) AS magic_hex,
-         cast({_H64} % 64 + 16 AS int) AS width
+         cast({pmod_sql(_H64, 64)} + 16 AS int) AS width
   FROM documents
 )
 GROUP BY source, media_type

@@ -96,11 +96,18 @@ def pipe2_monotonic_invariant(spark, sf_dir):
 
 
 def pipe3_tool_aggregates(spark, sf_dir):
-    """Per-sink aggregate stage over the routed plan (A4-A7 analog)."""
+    """Per-sink aggregate stage over the routed plan (A4-A7 analog).
+
+    Hash-gate form (``exact_sums=True``): latency is emitted as an exact
+    BIGINT sum + count instead of ``round(avg, 4)`` — a rounded quotient
+    can land exactly on a round-half boundary where Spark (decimal
+    HALF_UP) and DuckDB (binary) disagree. p95 stays rounded: an
+    interpolated quantile of integer latencies sits on a 2-dp grid, so
+    round(·, 4) is identity on the shared double."""
     from ..operators.aggregates import tool_call_frequency
 
     routed = _routed_cached(spark, "pandas_udf")
-    return tool_call_frequency(routed)
+    return tool_call_frequency(routed, exact_sums=True)
 
 
 def pipe4_drift_methods(spark, sf_dir):
@@ -237,28 +244,48 @@ flags AS (
   FROM routedT
 )
 SELECT
-  sum(CASE WHEN bw THEN 1 ELSE 0 END) AS n_backwards_after_repair,
-  sum(CASE WHEN is_backwards THEN 1 ELSE 0 END) AS n_backwards_raw,
+  CAST(sum(CASE WHEN bw THEN 1 ELSE 0 END) AS BIGINT) AS n_backwards_after_repair,
+  CAST(sum(CASE WHEN is_backwards THEN 1 ELSE 0 END) AS BIGINT) AS n_backwards_raw,
   count(*) AS n_rows
 FROM flags"""
+    # Parity rules (round-4 driver red): DuckDB integer sum() widens to
+    # HUGEINT -> pandas float64 ("123.0" vs Spark's "123"), so every sum is
+    # CAST to BIGINT; and never hash a rounded quotient -> exact latency
+    # sum + count instead of round(avg, 4).
     pipe3 = f"""WITH routedT AS ({routed})
 SELECT tool_name, count(*) AS n_calls,
-  round(avg(latency_ms), 4) AS avg_latency_ms,
+  CAST(sum(latency_ms) AS BIGINT) AS sum_latency_ms,
   round(quantile_cont(latency_ms, 0.95), 4) AS p95_latency_ms,
-  sum(args_bytes) AS total_args_bytes
+  CAST(sum(args_bytes) AS BIGINT) AS total_args_bytes
 FROM routedT WHERE route = 'tool_events'
 GROUP BY tool_name ORDER BY tool_name"""
     return {"pipe1_routed": pipe1, "pipe2_monotonic_invariant": pipe2,
             "pipe3_tool_aggregates": pipe3}
 
 
-_ORACLES = _pipe_oracles()
+_QUERIES: dict | None = None
 
-QUERIES = {
-    "pipe1_routed": (pipe1_routed, _ORACLES["pipe1_routed"]),
-    "pipe2_monotonic_invariant": (
-        pipe2_monotonic_invariant, _ORACLES["pipe2_monotonic_invariant"]),
-    "pipe3_tool_aggregates": (
-        pipe3_tool_aggregates, _ORACLES["pipe3_tool_aggregates"]),
-    "pipe4_drift_methods": (pipe4_drift_methods, None),
-}
+
+def _build_queries() -> dict:
+    oracles = _pipe_oracles()
+    return {
+        "pipe1_routed": (pipe1_routed, oracles["pipe1_routed"]),
+        "pipe2_monotonic_invariant": (
+            pipe2_monotonic_invariant, oracles["pipe2_monotonic_invariant"]),
+        "pipe3_tool_aggregates": (
+            pipe3_tool_aggregates, oracles["pipe3_tool_aggregates"]),
+        "pipe4_drift_methods": (pipe4_drift_methods, None),
+    }
+
+
+def __getattr__(name):
+    """Lazy QUERIES (PEP 562): building the pipe oracles embeds the raw-dir
+    path, which triggers write_transcripts datagen on first touch — that
+    must happen when the registry is USED (driver/tools/tests), never as an
+    import side effect of ``queries/__init__``."""
+    if name == "QUERIES":
+        global _QUERIES
+        if _QUERIES is None:
+            _QUERIES = _build_queries()
+        return _QUERIES
+    raise AttributeError(name)

@@ -282,13 +282,16 @@ class Lake:
         # same rename-aside swap as compact(): the previous copy survives
         # every crash point and _recover_compact() heals the window where
         # the table path is briefly absent (a rmtree-before-replace here
-        # used to leave the table missing with data stranded at __tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(path):
-            os.replace(path, old)
-        os.replace(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # used to leave the table missing with data stranded at __tmp).
+        # The whole swap holds self._lock: _recover_compact runs under the
+        # same lock, so a concurrent reader can never "heal" (restore old
+        # back to path) between the two renames and break the second one.
         with self._lock:
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(path):
+                os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
             m = self._load_manifest()
             m["tables"][name] = {
                 "snapshot_id": _fingerprint_dir(path),
@@ -381,11 +384,13 @@ class Lake:
         writer.parquet(tmp)
         # swap via rename-aside: the old copy survives every crash point,
         # and _recover_compact() (run on read and at compact start) rolls
-        # the table back if a crash lands between the two renames
-        os.replace(path, old)
-        os.replace(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # the table back if a crash lands between the two renames. The swap
+        # holds self._lock so an in-process concurrent reader's recovery
+        # cannot restore ``old`` mid-swap (see write_small).
         with self._lock:
+            os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
             m = self._load_manifest()
             if name in m["tables"]:
                 m["tables"][name]["snapshot_id"] = _fingerprint_dir(path)

@@ -66,10 +66,27 @@ def main():
             skipped.append(name)
             continue
         try:
-            got = canon(fn(spark, sf_dir).toPandas())
-            want = canon(con.execute(oracles[name]).df())
+            got_raw = fn(spark, sf_dir).toPandas()
+            want_raw = con.execute(oracles[name]).df()
+            got, want = canon(got_raw), canon(want_raw)
         except Exception as e:
             fails.append((name, f"EXEC ERROR: {type(e).__name__}: {e}"))
+            continue
+        # Driver-gate faithfulness: the driver hashes str(value), so an
+        # int64-vs-float64 dtype split ("123" vs "123.0") fails there even
+        # though the %.10g canon below equates them. DuckDB integer sum()
+        # widening to HUGEINT -> pandas float64 is the classic cause
+        # (round-4 pipe2/pipe3). Flag it whenever the float side carries no
+        # NaN (NaN-bearing int columns legitimately widen on BOTH engines).
+        dtype_bad = []
+        for c in sorted(set(got_raw.columns) & set(want_raw.columns)):
+            gk, wk = got_raw[c].dtype.kind, want_raw[c].dtype.kind
+            if {gk, wk} == {"i", "f"}:
+                fcol = got_raw[c] if gk == "f" else want_raw[c]
+                if not fcol.isna().any():
+                    dtype_bad.append(f"{c}(spark={gk},duck={wk})")
+        if dtype_bad:
+            fails.append((name, f"int/float dtype split -> driver hash red: {dtype_bad}"))
             continue
         if list(got.columns) != list(want.columns):
             fails.append((name, f"columns {list(got.columns)} != {list(want.columns)}"))
