@@ -64,7 +64,17 @@ BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "sf-bench")
 # partitions on 16 cores ran the big stages in 1.2 waves — wave 2 on 3/16
 # cores); wide-pair input settled at ~44M turns after the ~58M variant hit
 # the single box's DRAM-bandwidth ceiling at 16 threads.
-BENCH_CONFIG_VERSION = "v6"
+# v7 (round 5, after the wide local[16] config died 3x the same way mid
+# fan-out write — a persistent-state failure, not transience): repeated
+# runs in one live session accumulate shuffle files on the tmpfs
+# spark.local.dir until the driver JVM happens to GC (a 48g heap rarely
+# does), so tmpfs residency grows run over run until the OOM killer takes
+# a python worker. The worker now forces a ContextCleaner pass (explicit
+# System.gc()) after every run, caps Arrow batches at 5000 records on
+# BOTH sides (uniform, so the pair still measures one program), and
+# records /dev/shm residency + system memory use per run in the bench
+# JSON so any recurrence is diagnosable from the artifact alone.
+BENCH_CONFIG_VERSION = "v7"
 
 
 # --------------------------------------------------------------------------
@@ -96,6 +106,31 @@ def worker_queries(sf_dir: str, cpus: int, out: str) -> None:
             with open(out, "w") as fh:
                 json.dump(timings, fh)
     spark.stop()
+
+
+def _residency() -> dict:
+    """Memory footprint snapshot: tmpfs bytes (shuffle+lake live there — the
+    round-4 wide-pair OOM grew here run over run) and system memory in use.
+    Cheap (two statvfs + one /proc read); recorded per run in the out-file."""
+    snap = {}
+    try:
+        for name, path in (("shm", "/dev/shm"), ("tmp", "/tmp")):
+            st = os.statvfs(path)
+            snap[f"{name}_gb"] = round(
+                (st.f_blocks - st.f_bfree) * st.f_frsize / 2**30, 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            mi = dict(
+                (ln.split(":")[0], int(ln.split()[1]))
+                for ln in fh if ":" in ln and ln.split()[1].isdigit()
+            )
+        snap["mem_used_gb"] = round(
+            (mi["MemTotal"] - mi["MemAvailable"]) / 2**20, 2)
+    except (OSError, KeyError):
+        pass
+    return snap
 
 
 def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
@@ -144,12 +179,42 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
     sp = cores * -(-k // cores)
     spark = get_spark(
         f"bench-{cores}", cores=cores, shuffle_partitions=sp,
-        # a Python worker crash at local[] kills the whole run
-        # (task.maxFailures=1); keep the traceback for the retry log
-        extra_conf={"spark.python.worker.faulthandler.enabled": "true"},
+        extra_conf={
+            # a Python worker crash at local[] kills the whole run
+            # (task.maxFailures=1); keep the traceback for the retry log
+            "spark.python.worker.faulthandler.enabled": "true",
+            # backstop for the explicit post-run System.gc() below: the
+            # ContextCleaner only releases tmpfs shuffle files when the
+            # driver GCs, and a 48g heap can go many runs without one
+            "spark.cleaner.periodicGC.interval": "1min",
+            # halve peak Arrow buffer per python worker (uniform across
+            # the pair, so it measures the same program on both sides)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "5000",
+        },
     )
     t_start = time.perf_counter()
     runs: list[float] = []
+    residency: list[dict] = []
+
+    def _post_run_cleanup() -> None:
+        # Release this run's tmpfs state BEFORE timing the next one: the
+        # ContextCleaner frees shuffle files only on driver GC, which a
+        # 48g heap may not do for many runs — the round-4 wide crash was
+        # tmpfs filling monotonically until the OOM killer took a python
+        # worker. An explicit GC per run (a few hundred ms against a
+        # 40-200 s run) makes the loop's memory footprint flat.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        residency.append(_residency())
+
+    def _dump() -> None:
+        with open(out, "w") as fh:
+            json.dump({"sec": min(runs) if runs else None,
+                       "runs": [round(r, 1) for r in runs],
+                       "residency": residency}, fh)
+
     try:
         _warm = F.pandas_udf(lambda s: s, "long")
         spark.range(100_000).select(F.sum(_warm(F.col("id")))).collect()
@@ -170,18 +235,19 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
                 # next job) kills the whole run; keep measuring instead of
                 # abandoning the config with only its cold run recorded
                 fails += 1
+                _post_run_cleanup()
+                _dump()
                 sys.stderr.write(
                     f"[worker] run failed ({type(exc).__name__}: {exc}); "
-                    f"retry {fails}/3\n")
+                    f"retry {fails}/3; residency={residency[-1]}\n")
                 if fails >= 3:
                     raise
                 if time.perf_counter() - t_start > budget:
                     break
                 continue
             runs.append(time.perf_counter() - t0)
-            with open(out, "w") as fh:
-                json.dump({"sec": min(runs),
-                           "runs": [round(r, 1) for r in runs]}, fh)
+            _post_run_cleanup()
+            _dump()
             elapsed = time.perf_counter() - t_start
             if len(runs) >= min_reps and elapsed + min(runs) > budget:
                 break
@@ -260,6 +326,15 @@ def ensure_bench_raw(scale: str = BENCH_SCALE) -> tuple[str, int]:
     # silently reusing stale data
     sc = SCALES[scale]
     d = os.path.join("/tmp", f"rtps_bench_raw_{scale}_{sc.n_convs}x{sc.mean_turns}")
+    # purge RETIRED variants of this scale (e.g. the 48000x900 input the
+    # 44M-turn sizing replaced): round 4 ran phase B with both resident,
+    # and tens of stale GB on the bench volume is pure memory/disk
+    # pressure for zero value
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join("/tmp", f"rtps_bench_raw_{scale}_*")):
+        if os.path.abspath(stale) != os.path.abspath(d):
+            shutil.rmtree(stale, ignore_errors=True)
     meta = os.path.join(d, "_meta.json")
     if os.path.exists(meta):
         with open(meta) as fh:
@@ -287,7 +362,7 @@ def main() -> int:
     # Wall cap for the whole script: every phase budget derives from what
     # remains of it, so the true worst case is cap + one worker grace
     # window (90s). 1600 is sized so every config of both pairs gets its
-    # cold first run (~200-300s at 58M turns: one-time per-JVM cost that
+    # cold first run (~200-300s at 44M turns: one-time per-JVM cost that
     # neither a warm-up pipeline nor -Xms/-XX:+AlwaysPreTouch removes —
     # measured) PLUS at least two warm runs, since the reported number is
     # the min over warm repeats; run-until-stable exits hand unused time
@@ -332,9 +407,10 @@ def main() -> int:
     # sf-bench (~11M turns) — this input amortizes the ~10s/job fixed
     # driver cost at these widths.
     # pair 2 (round-3: the wider 100x-cluster evidence): local[4] vs
-    # local[16] on sf-scaling (~58M turns) — sized so the fixed cost is a
-    # small fraction of even the 16-core wall; residual in-window noise is
-    # carried to steady state by best_observed across BENCH_HISTORY.
+    # local[16] on sf-scaling (~44M turns, the measured sweet spot between
+    # fixed-cost amortization and the host's DRAM-bandwidth ceiling);
+    # residual in-window noise is carried to steady state by best_observed
+    # across BENCH_HISTORY.
     #
     # Every budget below derives from total_cap minus elapsed time — the
     # round-2 cap only bounded phase A and the worst case overran it.
