@@ -70,11 +70,23 @@ BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "sf-bench")
 # spark.local.dir until the driver JVM happens to GC (a 48g heap rarely
 # does), so tmpfs residency grows run over run until the OOM killer takes
 # a python worker. The worker now forces a ContextCleaner pass (explicit
-# System.gc()) after every run, caps Arrow batches at 5000 records on
-# BOTH sides (uniform, so the pair still measures one program), and
-# records /dev/shm residency + system memory use per run in the bench
-# JSON so any recurrence is diagnosable from the artifact alone.
-BENCH_CONFIG_VERSION = "v7"
+# System.gc()) after every run and records /dev/shm residency + system
+# memory use per run in the bench JSON.
+# v8 (round 5, after in-round forensics DISPROVED the v7 OOM theory: the
+# crash recurred with 123 GB free and the memory cgroup has never
+# OOM-killed anything; the true signature is one straggler task stalling
+# for minutes — a stuck Python worker — then dying): run the bench under
+# local[N,3] so a task survives transient worker death (cluster default
+# is 4 attempts; a retried task inflates that run's wall, which
+# min-over-runs absorbs), enable killWorkerOnFlushFailure so a worker
+# whose output flush fails dies IMMEDIATELY and retries instead of
+# wedging the stage, and dump Python worker stacks every 120s into the
+# worker stderr so any future stall is diagnosable from the .err file.
+# Drops v7's two speculative knobs: the mid-run periodic 1min GC (a full
+# GC on a 48g heap is a seconds-long pause injected into timed runs) and
+# the 5000-record Arrow batch cap (pure Python-roundtrip overhead once
+# the OOM theory fell).
+BENCH_CONFIG_VERSION = "v8"
 
 
 # --------------------------------------------------------------------------
@@ -179,17 +191,21 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
     sp = cores * -(-k // cores)
     spark = get_spark(
         f"bench-{cores}", cores=cores, shuffle_partitions=sp,
+        # local[N,3]: a transient Python-worker death costs one task
+        # retry (absorbed by min-over-runs), not the whole run — the
+        # round-4 wide-pair killer
+        max_failures=3,
         extra_conf={
-            # a Python worker crash at local[] kills the whole run
-            # (task.maxFailures=1); keep the traceback for the retry log
+            # keep the traceback when a worker does die
             "spark.python.worker.faulthandler.enabled": "true",
-            # backstop for the explicit post-run System.gc() below: the
-            # ContextCleaner only releases tmpfs shuffle files when the
-            # driver GCs, and a 48g heap can go many runs without one
-            "spark.cleaner.periodicGC.interval": "1min",
-            # halve peak Arrow buffer per python worker (uniform across
-            # the pair, so it measures the same program on both sides)
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "5000",
+            # the observed crash mode is a worker wedged for minutes then
+            # dying; a flush failure inside the daemon is the documented
+            # way workers get stuck — fail fast and let the task retry
+            "spark.python.daemon.killWorkerOnFlushFailure": "true",
+            # stall forensics: periodic Python stack dumps to stderr land
+            # in the worker's .err capture, so the NEXT straggler-stall
+            # shows exactly where the worker sat
+            "spark.python.worker.tracebackDumpIntervalSeconds": "120",
         },
     )
     t_start = time.perf_counter()
@@ -230,10 +246,10 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
                 run_pipeline(spark, raw_dir, lake, resume=False,
                              approx_percentiles=True)
             except Exception as exc:
-                # local[] runs with task.maxFailures=1: a single Python
-                # worker crash (transient — fresh workers respawn on the
-                # next job) kills the whole run; keep measuring instead of
-                # abandoning the config with only its cold run recorded
+                # even with local[N,3] task retries a run can still die
+                # (3 same-task failures, driver-side errors); keep
+                # measuring instead of abandoning the config with only
+                # its cold run recorded
                 fails += 1
                 _post_run_cleanup()
                 _dump()
@@ -274,24 +290,42 @@ def _run_worker(args: list[str], out: str, timeout: float) -> dict | None:
     None (crash/timeout). Partial out-file contents still count. Worker
     stderr goes to ``<out>.err`` so a subprocess crash (import error, OOM,
     Spark failure) is distinguishable from a timeout — ``_err_tail``
-    surfaces it in the result JSON."""
+    surfaces it in the result JSON.
+
+    The worker runs in its OWN SESSION and a timeout kills the whole
+    process group: ``subprocess.run(timeout=)`` killed only the direct
+    python child, ORPHANING its JVM (plus the JVM's pyspark.daemon
+    workers), which kept executing the in-flight 16-thread pipeline job —
+    every later config then ran against an invisible competitor. That is
+    a mechanism fully consistent with the round-4 wide-pair behavior
+    (42 s and 200 s+ runs of identical configs interleaved, then worker
+    deaths): one timed-out worker poisons the rest of the bench."""
     if os.path.exists(out):
         os.remove(out)
     timed_out = False
     with open(out + ".err", "w") as errf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *args, "--out", out],
+            cwd=REPO,
+            stdout=subprocess.DEVNULL,
+            stderr=errf,
+            start_new_session=True,
+        )
         try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), *args, "--out", out],
-                timeout=timeout,
-                cwd=REPO,
-                stdout=subprocess.DEVNULL,
-                stderr=errf,
-            )
+            proc.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
             timed_out = True
+            import signal
+
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
     if timed_out:
         with open(out + ".err", "a") as errf:
-            errf.write(f"\n[bench orchestrator] killed at timeout={timeout:.0f}s\n")
+            errf.write(f"\n[bench orchestrator] killed process group at "
+                       f"timeout={timeout:.0f}s\n")
     if os.path.exists(out):
         try:
             with open(out) as fh:
@@ -354,8 +388,38 @@ def ensure_bench_raw(scale: str = BENCH_SCALE) -> tuple[str, int]:
     return d, rows
 
 
+def _sweep_orphans() -> list[int]:
+    """Kill ORPHANED (ppid==1) Spark JVMs / pyspark.daemon processes left
+    by earlier killed runs — an orphan keeps executing its in-flight
+    multi-thread job and silently skews every timing measured while it
+    lives. Only reaps processes that have been reparented to init, so a
+    live concurrent session is never touched."""
+    import signal
+
+    killed = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                ppid = int(fh.read().split(")")[-1].split()[1])
+            if ppid != 1:
+                continue
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").decode(errors="ignore")
+            if "pyspark-shell" in cmd or "pyspark.daemon" in cmd:
+                os.kill(int(pid), signal.SIGKILL)
+                killed.append(int(pid))
+        except (OSError, ValueError, IndexError):
+            continue
+    return killed
+
+
 def main() -> int:
     t_start = time.perf_counter()
+    orphans = _sweep_orphans()
+    if orphans:
+        print(json.dumps({"swept_orphan_pids": orphans}), flush=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
@@ -396,6 +460,12 @@ def main() -> int:
         ) or {}
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3) if queries else None
+    if queries:
+        try:
+            result["queries_best_observed"] = _record_queries_history(
+                queries, sf, cpus)
+        except Exception:
+            pass
     print(json.dumps(result), flush=True)  # partial: survives a phase-B crash
 
     # ---- phase B: TWO pipeline scaling pairs, one subprocess per CONFIG ----
@@ -517,13 +587,14 @@ def main() -> int:
     return 0
 
 
-def _code_fingerprint() -> str:
+def _code_fingerprint(include_queries: bool = False) -> str:
     """Hash of the pipeline-affecting package source plus this harness.
     best_observed must only pair minima measured on the SAME program and
     measurement config — after an optimization (or a worker-config change
     like the shuffle-partition formula) lands, one side's new best paired
     with the other side's pre-change best is a ratio of two different
-    setups."""
+    setups. Phase A history additionally hashes the query registry
+    (``include_queries``) since that's the code it executes."""
     import glob
     import hashlib
 
@@ -532,7 +603,9 @@ def _code_fingerprint() -> str:
     # subpackages that never execute in phase B: the query registry, the
     # streaming variant, multimodal kernels
     skips = tuple(
-        os.sep + d + os.sep for d in ("queries", "streaming", "multimodal")
+        os.sep + d + os.sep
+        for d in (("streaming", "multimodal") if include_queries
+                  else ("queries", "streaming", "multimodal"))
     )
     for f in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
         if any(s in f for s in skips):
@@ -543,19 +616,50 @@ def _code_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
+def _load_history() -> list:
+    hist_path = os.path.join(REPO, "BENCH_HISTORY.json")
+    if os.path.exists(hist_path):
+        try:
+            with open(hist_path) as fh:
+                return json.load(fh)
+        except Exception:
+            pass
+    return []
+
+
+def _save_history(history: list) -> None:
+    with open(os.path.join(REPO, "BENCH_HISTORY.json"), "w") as fh:
+        json.dump(history, fh)
+
+
+def _record_queries_history(timings: dict, sf: float, cpus: int) -> dict:
+    """Phase-A twin of _record_history: the host's minute-scale noise
+    windows hit single-shot query timings just as hard as the pipeline
+    (round 4's +6% 'regression' was pure noise), so each round also
+    reports the per-query MIN across all same-code recorded rounds."""
+    history = _load_history()
+    code = _code_fingerprint(include_queries=True)
+    history.append({"kind": "queries", "timings": timings, "sf": sf,
+                    "cpus": cpus, "code": code, "at": time.time()})
+    _save_history(history)
+    same = [h for h in history
+            if h.get("kind") == "queries" and h.get("code") == code
+            and h.get("sf") == sf and h.get("cpus") == cpus]
+    best: dict[str, float] = {}
+    for h in same:
+        for k, v in h["timings"].items():
+            best[k] = min(best.get(k, v), v)
+    return {"queries": best,
+            "total_sec": round(sum(best.values()), 3) if best else None,
+            "n_rounds": len(same)}
+
+
 def _record_history(block: dict, n: int, n4: int, n_turns: int,
                     t_n: float, t_4n: float) -> None:
     """Cross-run history: the host has minute-scale noise windows, so
     per-round numbers are annotated with the best observed for the same
     (cores_n, cores_4n, turns, code) configuration."""
-    hist_path = os.path.join(REPO, "BENCH_HISTORY.json")
-    history = []
-    if os.path.exists(hist_path):
-        try:
-            with open(hist_path) as fh:
-                history = json.load(fh)
-        except Exception:
-            history = []
+    history = _load_history()
     code = _code_fingerprint()
     history.append(
         {"t_n_sec": round(t_n, 2), "t_4n_sec": round(t_4n, 2),
@@ -563,9 +667,11 @@ def _record_history(block: dict, n: int, n4: int, n_turns: int,
          "at": time.time()}
     )
     # strict: entries recorded before the code field existed never pair
-    # with current code either
-    same = [h for h in history if h["cores_n"] == n and h["cores_4n"] == n4
-            and h["turns"] == n_turns and h.get("code") == code]
+    # with current code either (.get: the history also holds phase-A
+    # "queries" entries without pair keys)
+    same = [h for h in history if h.get("cores_n") == n
+            and h.get("cores_4n") == n4
+            and h.get("turns") == n_turns and h.get("code") == code]
     best_n = min(h["t_n_sec"] for h in same)
     best_4n = min(h["t_4n_sec"] for h in same)
     bo_eff = round((best_n / best_4n) / (n4 / n), 3)
@@ -581,8 +687,7 @@ def _record_history(block: dict, n: int, n4: int, n_turns: int,
             "artifact: N-side best is still cold/noise-inflated at this "
             "sample count"
         )
-    with open(hist_path, "w") as fh:
-        json.dump(history, fh)
+    _save_history(history)
 
 
 def _pair_md(p: dict, title: str, scale: str) -> list[str]:
@@ -621,6 +726,14 @@ def _write_bench_md(result: dict, cpus: int) -> None:
         f"{result['value']} s total",
     ]
     lines += [f"  - {k}: {v} s" for k, v in result["queries"].items()]
+    qb = result.get("queries_best_observed") or {}
+    if qb.get("total_sec") is not None:
+        lines += [
+            f"- best observed per-query minima across {qb['n_rounds']}"
+            f" same-code rounds (BENCH_HISTORY.json): {qb['total_sec']} s"
+            " total — single-round totals swing with the host's"
+            " minute-scale noise windows",
+        ]
     if "scaling_efficiency" in p:
         lines += _pair_md(
             p, "Transcript pipeline scaling (north rule evidence)", BENCH_SCALE

@@ -19,12 +19,19 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    max_failures: int = 1,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
     cluster the master/cores come from spark-submit and these local[] bits
     are ignored by Spark (master already set).
+
+    ``max_failures`` > 1 switches to the ``local[N,M]`` master so a task
+    survives M-1 attempts — local mode defaults to maxFailures=1, where a
+    single transient Python-worker death kills the whole job. A real
+    cluster defaults to 4; long-lived measurement loops (bench) opt in to
+    the same resilience.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -32,9 +39,12 @@ def get_spark(
         # ~cores in local mode; a real cluster would size this to
         # total-cores * 2-3 (or rely on AQE coalescing from a higher value).
         shuffle_partitions = max(int(cores), 8)
+    master = (
+        f"local[{cores},{max_failures}]" if max_failures > 1 else f"local[{cores}]"
+    )
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

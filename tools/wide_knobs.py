@@ -1,0 +1,102 @@
+"""One-off experiment harness for the wide (local[16]) bench side.
+
+Measures the end-to-end pipeline wall at a given core count under
+candidate memory-bandwidth knobs (the 16-thread config is DRAM-bound on
+this host — VERDICT r4/BENCH.md), each in a FRESH subprocess/JVM:
+
+    python tools/wide_knobs.py <variant> <cores> [reps]
+
+Variants: v0 (v7 baseline), zstd-shuffle, zstd-sink, parts3x, combo.
+Prints one JSON line with the run list and min.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RAW = "/tmp/rtps_bench_raw_sf-scaling_36000x900"
+WARM = "/tmp/rtps_bench_warm_sf-unit"
+
+VARIANTS: dict[str, dict[str, str]] = {
+    "v0": {},
+    "zstd-shuffle": {"spark.io.compression.codec": "zstd"},
+    "zstd-sink": {"spark.sql.parquet.compression.codec": "zstd"},
+    "lz4-sink": {"spark.sql.parquet.compression.codec": "lz4"},
+    "combo": {
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.parquet.compression.codec": "zstd",
+    },
+}
+# partition-count multiplier variants (smaller sort working set per task)
+PARTS = {"parts3x": 3, "parts2x": 2, "v0": 1, "zstd-shuffle": 1,
+         "zstd-sink": 1, "lz4-sink": 1, "combo": 1}
+
+
+def run_variant(variant: str, cores: int, reps: int) -> None:
+    from pyspark.sql import functions as F
+
+    from racing_telemetry_pipeline_spark.plans.pipeline import run_pipeline
+    from racing_telemetry_pipeline_spark.session import get_spark
+
+    with open(os.path.join(RAW, "_meta.json")) as fh:
+        rows = json.load(fh)["rows"]
+    mult = PARTS.get(variant, 1)
+    k = max(8, rows // (3_000_000 // mult))
+    sp = cores * -(-k // cores)
+    # mirror bench.py worker_pipeline v8 exactly so a knob win transfers
+    conf = {
+        "spark.python.worker.faulthandler.enabled": "true",
+        "spark.python.daemon.killWorkerOnFlushFailure": "true",
+        "spark.python.worker.tracebackDumpIntervalSeconds": "120",
+    }
+    conf.update(VARIANTS.get(variant, {}))
+    spark = get_spark(f"knob-{variant}-{cores}", cores=cores,
+                      shuffle_partitions=sp, max_failures=3,
+                      extra_conf=conf)
+    lake = f"/dev/shm/knob_lake_{os.getpid()}"
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(100_000).select(F.sum(_warm(F.col("id")))).collect()
+    if os.path.isdir(WARM):
+        run_pipeline(spark, WARM, lake + "_w", resume=False,
+                     approx_percentiles=True)
+    runs = []
+    try:
+        for _ in range(reps):
+            shutil.rmtree(lake, ignore_errors=True)
+            t0 = time.perf_counter()
+            run_pipeline(spark, RAW, lake, resume=False,
+                         approx_percentiles=True)
+            runs.append(round(time.perf_counter() - t0, 1))
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            print(json.dumps({"variant": variant, "cores": cores,
+                              "sp": sp, "runs": runs,
+                              "min": min(runs)}), flush=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(lake + "_w", ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--child":
+        run_variant(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        sys.exit(0)
+    variant = sys.argv[1] if len(sys.argv) > 1 else "v0"
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         variant, str(cores), str(reps)],
+        cwd=REPO,
+    )
