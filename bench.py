@@ -474,8 +474,9 @@ def main() -> int:
     # so a tight cap degrades the slow side, whose min stabilizes anyway)
     #
     # pair 1 (the north-rule N-vs-4N record): local[1] vs local[4] on
-    # sf-bench (~11M turns) — this input amortizes the ~10s/job fixed
-    # driver cost at these widths.
+    # sf-bench (~11M turns) — this input amortizes the fixed per-job
+    # driver cost (measured ~3s warm in-session, up to ~10s around a
+    # cold JVM) at these widths.
     # pair 2 (round-3: the wider 100x-cluster evidence): local[4] vs
     # local[16] on sf-scaling (~44M turns, the measured sweet spot between
     # fixed-cost amortization and the host's DRAM-bandwidth ceiling);
@@ -763,7 +764,7 @@ def _write_bench_md(result: dict, cpus: int) -> None:
         lines += [
             "- the wider pair runs the same end-to-end pipeline on a 4x",
             "  input (~44M turns) — the measured sweet spot between",
-            "  amortizing the ~10s fixed per-job driver cost (argues",
+            "  amortizing the fixed per-job driver cost (~3s warm; argues",
             "  bigger) and the host's shared DRAM-bandwidth ceiling that a",
             "  ~58M variant pushed the 16-thread config into (argues",
             "  smaller); residual host noise is carried to steady state by",

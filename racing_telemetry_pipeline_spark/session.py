@@ -72,6 +72,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Promote task outputs at TASK commit (committer v2), not in the
+        # driver's serial job-commit rename loop (v1 default): a fan-out
+        # write at 100 TB has O(10^5) task directories and v1's job commit
+        # is minutes of single-threaded driver work; locally it is a fixed
+        # per-job serial cost that caps scaling efficiency at small inputs.
+        # Safe here: job-level atomicity comes from the lake's manifest
+        # swap (a stage whose write dies never updates the manifest), so
+        # v1's staging-dir atomicity is redundant.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

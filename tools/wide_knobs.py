@@ -27,6 +27,7 @@ WARM = "/tmp/rtps_bench_warm_sf-unit"
 
 VARIANTS: dict[str, dict[str, str]] = {
     "v0": {},
+    "r4rep": {},  # exact round-4 bench config (maxFailures=1, no extra conf)
     "zstd-shuffle": {"spark.io.compression.codec": "zstd"},
     "zstd-sink": {"spark.sql.parquet.compression.codec": "zstd"},
     "lz4-sink": {"spark.sql.parquet.compression.codec": "lz4"},
@@ -52,14 +53,19 @@ def run_variant(variant: str, cores: int, reps: int) -> None:
     k = max(8, rows // (3_000_000 // mult))
     sp = cores * -(-k // cores)
     # mirror bench.py worker_pipeline v8 exactly so a knob win transfers
-    conf = {
-        "spark.python.worker.faulthandler.enabled": "true",
-        "spark.python.daemon.killWorkerOnFlushFailure": "true",
-        "spark.python.worker.tracebackDumpIntervalSeconds": "120",
-    }
+    if variant == "r4rep":
+        conf = {"spark.python.worker.faulthandler.enabled": "true"}
+        mf = 1
+    else:
+        conf = {
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.python.daemon.killWorkerOnFlushFailure": "true",
+            "spark.python.worker.tracebackDumpIntervalSeconds": "120",
+        }
+        mf = 3
     conf.update(VARIANTS.get(variant, {}))
     spark = get_spark(f"knob-{variant}-{cores}", cores=cores,
-                      shuffle_partitions=sp, max_failures=3,
+                      shuffle_partitions=sp, max_failures=mf,
                       extra_conf=conf)
     lake = f"/dev/shm/knob_lake_{os.getpid()}"
     _warm = F.pandas_udf(lambda s: s, "long")
