@@ -691,6 +691,28 @@ def _record_history(block: dict, n: int, n4: int, n_turns: int,
     _save_history(history)
 
 
+def _amdahl_fit(p: dict) -> str | None:
+    """Fit t(p) = s + c/p on the pair (DESIGN.md round-4 algebra): s is the
+    serial/straggler component — the ONLY term that moves the (N,4N)
+    efficiency ratio; c/p is parallel compute, which cancels out of it.
+    Shown per pair so the ratio's driver is visible next to the number."""
+    try:
+        n, n4 = p["cores_n"], p["cores_4n"]
+        t_n, t_4n = p["t_n_sec"], p["t_4n_sec"]
+        bo = p.get("best_observed") or {}
+        t_n, t_4n = bo.get("t_n_sec", t_n), bo.get("t_4n_sec", t_4n)
+        c = (t_n - t_4n) / (1.0 / n - 1.0 / n4)
+        s = t_n - c / n
+        return (
+            f"- Amdahl fit on the best-observed pair t(p) = s + c/p: "
+            f"s = {s:.1f}s serial, c = {c:.0f} core-s parallel; "
+            f"efficiency = (s + c/{n}) / (4 * (s + c/{n4})) — only s (and "
+            f"stragglers) moves this ratio, so optimization targets s"
+        )
+    except (KeyError, ZeroDivisionError, TypeError):
+        return None
+
+
 def _pair_md(p: dict, title: str, scale: str) -> list[str]:
     lines = [
         f"\n## {title}\n",
@@ -715,6 +737,9 @@ def _pair_md(p: dict, title: str, scale: str) -> list[str]:
             f" **{bo['scaling_efficiency']}**,"
             f" {bo['turns_per_sec_4n']} turns/s at 4N",
         ]
+    fit = _amdahl_fit(p)
+    if fit:
+        lines += [fit]
     return lines
 
 

@@ -44,6 +44,30 @@ def _words(df: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_array(df: DataFrame) -> DataFrame:
+    """documents + ``shs``: the DISTINCT 3-gram shingle set, built
+    ARRAY-SIDE inside each row. The round-4 shape exploded words and ran a
+    lead() window over (doc_id, pos) — a full shuffle+sort of the word
+    table (~20x the document table, the largest intermediate in every
+    dedup-family plan) just to pair adjacent words that were ALREADY
+    adjacent in the source string. transform over the split array builds
+    the same shingles row-locally, and array_distinct replaces the
+    distinct() exchange, so the first shuffle any consumer pays is its
+    own (dd2's groupBy(shingle); dd3 pays none at all)."""
+    return df.withColumn("ws", F.split("text", " ")).withColumn(
+        "shs",
+        F.array_distinct(
+            F.when(
+                F.size("ws") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ),
+    )
+
+
 # The shared cross-engine signed 64-bit hash (functions/hash64.py) under
 # this module's historical local names.
 from ..functions.hash64 import HASH64_SQL as _HASH64_SQL  # noqa: E402
@@ -94,14 +118,8 @@ def dd2_ngram_jaccard_pairs(spark, sf_dir):
     plan, asserted in tests/test_plans.py). Pair blow-up stays bounded at
     df*(df-1)/2 <= 2016 rows per shingle group."""
     docs = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        _words(docs)
-        .withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
-        .distinct()
+    sh = _shingle_array(docs).select(
+        "doc_id", F.explode("shs").alias("shingle")
     )
     # df-count pre-filter BEFORE collect_list: the window count buffers
     # rows in Spark's spillable sorter and drops hot boilerplate shingles
@@ -179,31 +197,45 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {JACCARD_MIN}
 
 
 # --- MinHash signatures + LSH band pairs --------------------------------------
+def _hashed_shingle_array(df: DataFrame) -> DataFrame:
+    """documents + ``hs``: distinct shingle hashes (h = hash64 % MERSENNE,
+    signed — both engines' % keep the dividend's sign), still array-side.
+    array_distinct AFTER hashing mirrors the oracle's DISTINCT (doc_id, h):
+    two shingles colliding to one h must count once downstream."""
+    return _shingle_array(df).withColumn(
+        "hs",
+        F.array_distinct(
+            F.transform("shs", lambda s: _doc_hash64(s) % F.lit(MERSENNE))
+        ),
+    )
+
+
 def _shingle_hashes(spark, sf_dir):
+    """(doc_id, h) distinct shingle-hash rows — zero exchanges: the
+    distinct is array-side, so consumers start from a row-local explode."""
     docs = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        _words(docs)
-        .withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            (
-                _doc_hash64(F.concat_ws(" ", "word", "w1", "w2")) % MERSENNE
-            ).alias("h"),
-        )
-        .distinct()
+    return _hashed_shingle_array(docs).select(
+        "doc_id", F.explode("hs").alias("h")
     )
 
 
 def dd3_minhash_signatures(spark, sf_dir):
-    sh = _shingle_hashes(spark, sf_dir)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"mh{i}")
+    """MinHash signatures with NO shuffle anywhere: min_i((a*h+b) % p) is
+    an array_min over the row-local hash array — the round-4 shape's
+    explode + groupBy(doc_id) exchange (a full pass over the word-level
+    table) is gone. At 100 TB the signature job is now embarrassingly
+    parallel: scan -> project, no wide edge at all."""
+    docs = t(spark, sf_dir, "documents")
+    base = _hashed_shingle_array(docs).filter(F.size("hs") > 0)
+    cols = [
+        F.array_min(
+            F.transform(
+                "hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)
+            )
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.select("doc_id", *cols)
 
 
 _SH_SQL = f"""

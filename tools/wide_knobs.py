@@ -28,6 +28,12 @@ WARM = "/tmp/rtps_bench_warm_sf-unit"
 VARIANTS: dict[str, dict[str, str]] = {
     "v0": {},
     "r4rep": {},  # exact round-4 bench config (maxFailures=1, no extra conf)
+    # round-5 A/B: is the 16-core collapse (214s vs the 58s pre-committer
+    # replica) caused by committer v2? extra_conf wins over get_spark's
+    # default, so this runs the exact v8 config with v1 restored
+    "committer-v1": {
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "1"
+    },
     "zstd-shuffle": {"spark.io.compression.codec": "zstd"},
     "zstd-sink": {"spark.sql.parquet.compression.codec": "zstd"},
     "lz4-sink": {"spark.sql.parquet.compression.codec": "lz4"},
@@ -78,8 +84,8 @@ def run_variant(variant: str, cores: int, reps: int) -> None:
         for _ in range(reps):
             shutil.rmtree(lake, ignore_errors=True)
             t0 = time.perf_counter()
-            run_pipeline(spark, RAW, lake, resume=False,
-                         approx_percentiles=True)
+            res = run_pipeline(spark, RAW, lake, resume=False,
+                               approx_percentiles=True)
             runs.append(round(time.perf_counter() - t0, 1))
             try:
                 spark.sparkContext._jvm.System.gc()
@@ -87,7 +93,10 @@ def run_variant(variant: str, cores: int, reps: int) -> None:
                 pass
             print(json.dumps({"variant": variant, "cores": cores,
                               "sp": sp, "runs": runs,
-                              "min": min(runs)}), flush=True)
+                              "min": min(runs),
+                              "stages": {k: round(v, 1)
+                                         for k, v in res.timings.items()}}),
+                  flush=True)
     finally:
         shutil.rmtree(lake, ignore_errors=True)
         shutil.rmtree(lake + "_w", ignore_errors=True)
