@@ -211,6 +211,7 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
     t_start = time.perf_counter()
     runs: list[float] = []
     residency: list[dict] = []
+    stages: list[dict] = []  # per-run {stage: sec} — localizes serial cost s
 
     def _post_run_cleanup() -> None:
         # Release this run's tmpfs state BEFORE timing the next one: the
@@ -229,7 +230,8 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
         with open(out, "w") as fh:
             json.dump({"sec": min(runs) if runs else None,
                        "runs": [round(r, 1) for r in runs],
-                       "residency": residency}, fh)
+                       "residency": residency,
+                       "stages": stages}, fh)
 
     try:
         _warm = F.pandas_udf(lambda s: s, "long")
@@ -243,8 +245,9 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
             shutil.rmtree(lake, ignore_errors=True)
             t0 = time.perf_counter()
             try:
-                run_pipeline(spark, raw_dir, lake, resume=False,
-                             approx_percentiles=True)
+                res = run_pipeline(spark, raw_dir, lake, resume=False,
+                                   approx_percentiles=True)
+                stages.append({k: round(v, 1) for k, v in res.timings.items()})
             except Exception as exc:
                 # even with local[N,3] task retries a run can still die
                 # (3 same-task failures, driver-side errors); keep
@@ -519,6 +522,15 @@ def main() -> int:
                 "runs_n_sec": (pb or {}).get("runs", []),
             }
         eff = round((t_n / t_4n) / (n4 / n), 3)
+
+        def _best_stages(p: dict) -> dict | None:
+            # stage split of the min run (lists are parallel; a failed run
+            # appends residency but not runs/stages, so guard lengths)
+            rs, st = p.get("runs") or [], p.get("stages") or []
+            if rs and len(st) >= len(rs):
+                return st[rs.index(min(rs))]
+            return None
+
         block = {
             "turns": n_turns,
             "cores_n": n,
@@ -530,6 +542,8 @@ def main() -> int:
             "scaling_efficiency": eff,
             "runs_4n_sec": pa.get("runs", []),
             "runs_n_sec": pb.get("runs", []),
+            "stages_4n_best": _best_stages(pa),
+            "stages_n_best": _best_stages(pb),
         }
         if eff > 1.05:
             # super-linear local[] scaling is not physical: it means the
@@ -801,6 +815,14 @@ def _write_bench_md(result: dict, cpus: int) -> None:
             "  memory channels with every executor node; local[] cannot,",
             "  so the wide pair UNDERSTATES multi-node scaling the same way",
             "  a single shared disk would without the tmpfs shuffle/lake)",
+            "- round-5 event-log forensics (tools/wide_knobs.py evlog +",
+            "  tools/stage_times.py) pins the residual gap: the dominant",
+            "  parse->route->write stage is perfectly BALANCED (max task ==",
+            "  stage wall, no straggler), tasks are ~93% on-CPU with no GC",
+            "  or fetch-wait pathology, and per-row CPU inflates ~1.6x when",
+            "  16 tasks run concurrently vs 4 — shared DRAM/LLC contention",
+            "  counted as CPU time, the one resource local[] cannot add",
+            "  with width; driver plan time is <1s warm and job gaps <2s",
         ]
     elif pw.get("error"):
         lines += ["", f"- wide scaling pair failed: {pw['error']}"]

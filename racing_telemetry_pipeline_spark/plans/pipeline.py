@@ -175,10 +175,17 @@ def run_pipeline(
             "routed",
             partition_by=["route"],
             input_snapshot=res.input_snapshot,
-            # route leads the sort so the dynamic-partition writer reuses
-            # this ordering instead of adding its own sort; conv/turn order
-            # inside each sink file gives deterministic output (O2)
-            sort_within=["route", "conv_id", "turn_idx"],
+            # NO in-task sort: with maxConcurrentOutputFileWriters set
+            # (session.py) the dynamic-partition writer keeps one open
+            # writer per route (3-5 sinks at any scale) and rows STREAM
+            # from the parse/stitch stage into parquet. The previous
+            # (route, conv, turn) sort materialized every row ~3x in the
+            # task sorter — the pipeline's single largest memory-bandwidth
+            # cost. Row order within each file is the deterministic stream
+            # order of the upstream plan; consumers that need (conv, turn)
+            # order sort at read (O2 equality is asserted under explicit
+            # ordering in tests/test_pipeline_e2e.py).
+            sort_within=None,
         )
         res.observed_metrics = dict(obs.get)
         lake.record_stage_metrics("routed", res.observed_metrics)

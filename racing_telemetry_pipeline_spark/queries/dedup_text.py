@@ -37,13 +37,6 @@ SIMHASH_BITS = 64  # bit 63 is the int64 sign bit (contributes -2^63)
 STOPWORDS = "the|a|of|to|in|is|and"
 
 
-def _words(df: DataFrame) -> DataFrame:
-    """Explode documents into (doc_id, pos, word)."""
-    return df.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-
-
 def _shingle_array(df: DataFrame) -> DataFrame:
     """documents + ``shs``: the DISTINCT 3-gram shingle set, built
     ARRAY-SIDE inside each row. The round-4 shape exploded words and ran a
@@ -308,25 +301,39 @@ def _bit_weight(j: int) -> int:
 def _simhash_vals(spark, sf_dir):
     """(doc_id, simhash): 64-bit SimHash over per-word md5-derived hashes.
 
-    The j-th bit of the signature is sign(sum over words of cnt * (+1 if
-    bit j of hash(word) else -1)); the 64 bits pack into ONE signed int64
-    (bit 63 contributes -2^63), which both engines reconstruct with
-    identical two's-complement arithmetic."""
-    docs = t(spark, sf_dir, "documents")
-    tok = (
-        _words(docs)
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", _doc_hash64(F.col("word")))
+    The j-th bit of the signature is sign(sum over word OCCURRENCES of +1
+    if bit j of hash(word) else -1) — identical to the cnt-weighted sum
+    over distinct words; the 64 bits pack into ONE signed int64 (bit 63
+    contributes -2^63), which both engines reconstruct with identical
+    two's-complement arithmetic.
+
+    Like dd3, the whole computation is ARRAY-SIDE (zero exchanges): the
+    round-4 shape shuffled word rows twice (groupBy(doc_id, word) then
+    groupBy(doc_id)); now the per-word hashes live in a row-local array
+    and each bit-sum is an aggregate() over it. The hash array is
+    materialized ONCE per row — whole-stage codegen's common-subexpression
+    elimination dedupes the shared transform() child across the 64
+    aggregates (verified by timing; a 64x md5 recompute would be ~2
+    orders slower)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.withColumn(
+        "hws", F.transform(F.split("text", " "), lambda w: _doc_hash64(w))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
+    def _bit_sum(j: int):
+        # factory closure: aggregate()'s merge lambda must be exactly
+        # (acc, x) — a j=j default arg changes the visible arity
+        return F.aggregate(
+            "hws",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
         ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
+
+    bit_sums = [_bit_sum(j) for j in range(SIMHASH_BITS)]
+    agg = base.select("doc_id", *bit_sums)
     sim = None
     for j in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s{j}") >= 0, F.lit(_bit_weight(j)).cast("long")).otherwise(
@@ -497,7 +504,12 @@ GROUP BY source
 
 def tx3_token_stats(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    words = _words(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # source rides the explode directly — the previous shape re-joined the
+    # word rows back to documents on doc_id (a second scan + join) just to
+    # recover a column that was already on the row being exploded
+    words = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
     return words.groupBy("source").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("word").alias("n_unique_tokens"),

@@ -34,7 +34,14 @@ VARIANTS: dict[str, dict[str, str]] = {
     "committer-v1": {
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "1"
     },
+    # stage-level forensics: parse /tmp/evlog with tools/stage_times.py to
+    # see which stage holds the non-scaling ~31s (straggler vs serial)
+    "evlog": {
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": "file:///tmp/evlog",
+    },
     "zstd-shuffle": {"spark.io.compression.codec": "zstd"},
+    "arrow50k": {"spark.sql.execution.arrow.maxRecordsPerBatch": "50000"},
     "zstd-sink": {"spark.sql.parquet.compression.codec": "zstd"},
     "lz4-sink": {"spark.sql.parquet.compression.codec": "lz4"},
     "combo": {
