@@ -37,28 +37,32 @@ SIMHASH_BITS = 64  # bit 63 is the int64 sign bit (contributes -2^63)
 STOPWORDS = "the|a|of|to|in|is|and"
 
 
-def _shingle_array(df: DataFrame) -> DataFrame:
-    """documents + ``shs``: the DISTINCT 3-gram shingle set, built
-    ARRAY-SIDE inside each row. The round-4 shape exploded words and ran a
-    lead() window over (doc_id, pos) — a full shuffle+sort of the word
-    table (~20x the document table, the largest intermediate in every
-    dedup-family plan) just to pair adjacent words that were ALREADY
-    adjacent in the source string. transform over the split array builds
-    the same shingles row-locally, and array_distinct replaces the
-    distinct() exchange, so the first shuffle any consumer pays is its
-    own (dd2's groupBy(shingle); dd3 pays none at all)."""
-    return df.withColumn("ws", F.split("text", " ")).withColumn(
-        "shs",
-        F.array_distinct(
-            F.when(
-                F.size("ws") >= 3,
-                F.expr(
-                    "transform(sequence(0, size(ws) - 3),"
-                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
-                ),
-            ).otherwise(F.expr("cast(array() as array<string>)"))
-        ),
-    )
+# The DISTINCT 3-gram shingle set, built ARRAY-SIDE inside each row. The
+# round-4 shape exploded words and ran a lead() window over (doc_id, pos)
+# — a full shuffle+sort of the word table (~20x the document table, the
+# largest intermediate in every dedup-family plan) just to pair adjacent
+# words that were ALREADY adjacent in the source string. transform over
+# the split array builds the same shingles row-locally and array_distinct
+# replaces the distinct() exchange, so the first shuffle any consumer
+# pays is its own (dd2's groupBy(shingle); dd3/dd5 pay none at all).
+#
+# The outer transform(array(split(..)), ws -> ..)[0] is a LAMBDA BINDING,
+# not decoration: `ws` appears 5 times in the shingle builder, and a
+# withColumn alias gets inlined by CollapseProject into every reference —
+# the first version re-ran split(text) per reference and per consumer
+# (plan audit: 33 split() nodes in dd2's plan, 12 transform() in dd3's;
+# dd2 ran 3.6x slower than the shape it replaced). A lambda variable is
+# bound once per element, so split runs exactly once per row no matter
+# how the consumer plan collapses. Multi-consumer ARRAYS additionally go
+# behind an explode(array(..)) Generate barrier (see dd3/dd5): a
+# generator output is a real attribute, which projects cannot inline.
+_SHINGLES_EXPR = (
+    "transform(array(split(text, ' ')), ws -> "
+    "array_distinct(CASE WHEN size(ws) >= 3 "
+    "THEN transform(sequence(0, size(ws) - 3), "
+    "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) "
+    "ELSE cast(array() as array<string>) END))[0]"
+)
 
 
 # The shared cross-engine signed 64-bit hash (functions/hash64.py) under
@@ -111,9 +115,7 @@ def dd2_ngram_jaccard_pairs(spark, sf_dir):
     plan, asserted in tests/test_plans.py). Pair blow-up stays bounded at
     df*(df-1)/2 <= 2016 rows per shingle group."""
     docs = t(spark, sf_dir, "documents")
-    sh = _shingle_array(docs).select(
-        "doc_id", F.explode("shs").alias("shingle")
-    )
+    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
     # df-count pre-filter BEFORE collect_list: the window count buffers
     # rows in Spark's spillable sorter and drops hot boilerplate shingles
     # (df > MAX_SHINGLE_DF, potentially 10^6+ docs at corpus scale) without
@@ -190,36 +192,44 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {JACCARD_MIN}
 
 
 # --- MinHash signatures + LSH band pairs --------------------------------------
-def _hashed_shingle_array(df: DataFrame) -> DataFrame:
-    """documents + ``hs``: distinct shingle hashes (h = hash64 % MERSENNE,
-    signed — both engines' % keep the dividend's sign), still array-side.
-    array_distinct AFTER hashing mirrors the oracle's DISTINCT (doc_id, h):
-    two shingles colliding to one h must count once downstream."""
-    return _shingle_array(df).withColumn(
-        "hs",
-        F.array_distinct(
-            F.transform("shs", lambda s: _doc_hash64(s) % F.lit(MERSENNE))
-        ),
+def _hs_chain():
+    """Distinct shingle-hash ARRAY (h = hash64 % MERSENNE, signed — both
+    engines' % keep the dividend's sign). array_distinct AFTER hashing
+    mirrors the oracle's DISTINCT (doc_id, h): two shingles colliding to
+    one h must count once downstream. One expression tree — consumers
+    must reference it exactly once (explode or the Generate barrier)."""
+    return F.array_distinct(
+        F.transform(
+            F.expr(_SHINGLES_EXPR), lambda s: _doc_hash64(s) % F.lit(MERSENNE)
+        )
     )
 
 
 def _shingle_hashes(spark, sf_dir):
-    """(doc_id, h) distinct shingle-hash rows — zero exchanges: the
-    distinct is array-side, so consumers start from a row-local explode."""
+    """(doc_id, h) distinct shingle-hash rows — zero exchanges: the whole
+    split->shingle->hash->distinct chain sits inside ONE Generate,
+    evaluated once per document row."""
     docs = t(spark, sf_dir, "documents")
-    return _hashed_shingle_array(docs).select(
-        "doc_id", F.explode("hs").alias("h")
-    )
+    return docs.select("doc_id", F.explode(_hs_chain()).alias("h"))
 
 
 def dd3_minhash_signatures(spark, sf_dir):
     """MinHash signatures with NO shuffle anywhere: min_i((a*h+b) % p) is
     an array_min over the row-local hash array — the round-4 shape's
     explode + groupBy(doc_id) exchange (a full pass over the word-level
-    table) is gone. At 100 TB the signature job is now embarrassingly
-    parallel: scan -> project, no wide edge at all."""
+    table) is gone. At 100 TB the signature job is embarrassingly
+    parallel: scan -> project, no wide edge at all.
+
+    explode(array(chain)) materializes the hash array as a real attribute
+    (exactly one output row per input row): the 8 per-permutation
+    array_min columns each reference the ATTRIBUTE, which CollapseProject
+    cannot inline — without the barrier the whole split->hash chain was
+    duplicated into all 8 columns (12 transform() nodes in the plan, 7x
+    slower)."""
     docs = t(spark, sf_dir, "documents")
-    base = _hashed_shingle_array(docs).filter(F.size("hs") > 0)
+    base = docs.select(
+        "doc_id", F.explode(F.array(_hs_chain())).alias("hs")
+    ).filter(F.size("hs") > 0)
     cols = [
         F.array_min(
             F.transform(
