@@ -65,10 +65,11 @@ _SHINGLES_EXPR = (
 )
 
 
-# The shared cross-engine signed 64-bit hash (functions/hash64.py) under
-# this module's historical local names.
+# The shared cross-engine signed 64-bit hash (functions/hash64.py): the
+# DuckDB-side spelling for the SQL oracles. The Spark side uses the
+# lambda-bound _HASH64_LAMBDA twin below (value-identical; HOF lambdas
+# get no codegen CSE, so the Column form re-ran md5 ~3x per element).
 from ..functions.hash64 import HASH64_SQL as _HASH64_SQL  # noqa: E402
-from ..functions.hash64 import hash64 as _doc_hash64  # noqa: E402
 
 
 # --- exact dedup (hash groupBy) ----------------------------------------------
@@ -192,16 +193,29 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {JACCARD_MIN}
 
 
 # --- MinHash signatures + LSH band pairs --------------------------------------
+# hash64 (functions/hash64.py) re-spelled with md5/conv LAMBDA-BOUND: a
+# higher-order-function lambda body is evaluated interpreted, with no
+# codegen subexpression elimination, so the plain Column form (md
+# referenced by hi and lo, hi referenced twice) re-ran md5 ~3x per
+# element. Value-identical to hash64()/HASH64_SQL (oracle-checked).
+_HASH64_LAMBDA = (
+    "transform(array(md5(cast({x} as binary))), md -> "
+    "transform(array(cast(conv(substr(md, 1, 8), 16, 10) as bigint)), hi -> "
+    "(hi - (CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END))"
+    " * 4294967296"
+    " + cast(conv(substr(md, 9, 8), 16, 10) as bigint))[0])[0]"
+)
+
+
 def _hs_chain():
     """Distinct shingle-hash ARRAY (h = hash64 % MERSENNE, signed — both
     engines' % keep the dividend's sign). array_distinct AFTER hashing
     mirrors the oracle's DISTINCT (doc_id, h): two shingles colliding to
     one h must count once downstream. One expression tree — consumers
     must reference it exactly once (explode or the Generate barrier)."""
-    return F.array_distinct(
-        F.transform(
-            F.expr(_SHINGLES_EXPR), lambda s: _doc_hash64(s) % F.lit(MERSENNE)
-        )
+    return F.expr(
+        f"array_distinct(transform({_SHINGLES_EXPR}, "
+        f"s -> ({_HASH64_LAMBDA.format(x='s')}) % {MERSENNE}))"
     )
 
 
@@ -321,13 +335,20 @@ def _simhash_vals(spark, sf_dir):
     round-4 shape shuffled word rows twice (groupBy(doc_id, word) then
     groupBy(doc_id)); now the per-word hashes live in a row-local array
     and each bit-sum is an aggregate() over it. The hash array is
-    materialized ONCE per row — whole-stage codegen's common-subexpression
-    elimination dedupes the shared transform() child across the 64
-    aggregates (verified by timing; a 64x md5 recompute would be ~2
-    orders slower)."""
+    materialized ONCE per row behind the explode(array(..)) Generate
+    barrier (see _SHINGLES_EXPR note): 64 consumers referencing a plain
+    withColumn alias invite CollapseProject to inline the md5 chain 64x."""
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = docs.withColumn(
-        "hws", F.transform(F.split("text", " "), lambda w: _doc_hash64(w))
+    base = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.expr(
+                    "transform(split(text, ' '), "
+                    f"w -> {_HASH64_LAMBDA.format(x='w')})"
+                )
+            )
+        ).alias("hws"),
     )
     def _bit_sum(j: int):
         # factory closure: aggregate()'s merge lambda must be exactly
