@@ -6,8 +6,10 @@ this host — VERDICT r4/BENCH.md), each in a FRESH subprocess/JVM:
 
     python tools/wide_knobs.py <variant> <cores> [reps]
 
-Variants: v0 (v7 baseline), zstd-shuffle, zstd-sink, parts3x, combo.
-Prints one JSON line with the run list and min.
+Variants: v0 (bench mirror), r4rep (round-4 replica), committer-v1,
+evlog (event-log capture for tools/stage_times.py), zstd-shuffle,
+zstd-sink, lz4-sink, arrow50k, combo, parts2x/parts3x.
+Prints one JSON line per run with the run list, min, and stage splits.
 """
 
 from __future__ import annotations
