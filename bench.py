@@ -98,7 +98,17 @@ BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "sf-bench")
 # the plan scale" (yes) from "does this box have 16 memory lanes" (no).
 # (4,16) stays reported as the ceiling probe with the same history
 # mechanism.
-BENCH_CONFIG_VERSION = "v9"
+#
+# v10 (round 6): AQE partition coalescing disabled in the pipeline
+# workers — it was silently undoing the v6 full-wave partition formula
+# (sp=multiple-of-cores got coalesced to 5-6 partitions on 4 cores =>
+# 1.5-wave stages with idle cores in wave 2 on every post-exchange
+# stage; event-log measured). Also the final stdout line is now a
+# COMPACT machine-readable summary (pair efficiencies + best-observed +
+# headline only) — round 5's full-detail final line outgrew the
+# driver's tail capture and BENCH_r05.json recorded parsed:null; full
+# detail still prints earlier and lands in BENCH_FULL.json.
+BENCH_CONFIG_VERSION = "v10"
 
 
 # --------------------------------------------------------------------------
@@ -208,6 +218,16 @@ def worker_pipeline(cores: int, raw_dir: str, warm_dir: str, out: str,
         # round-4 wide-pair killer
         max_failures=3,
         extra_conf={
+            # The shuffle-partition formula above rounds sp UP to a full
+            # multiple of the cores precisely so every big stage runs in
+            # complete waves — but AQE's partition coalescing then merges
+            # those sp partitions down to whatever hits its advisory size
+            # (measured: 5-6 partitions on 4 cores => a 1.5-wave stage
+            # with 2 cores idle through the second wave, on every stage of
+            # every run). Disabling coalescing keeps each post-exchange
+            # stage at exactly sp tasks = full waves at any width. Skew
+            # splitting (adaptive.skewJoin) is independent and stays on.
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
             # keep the traceback when a worker does die
             "spark.python.worker.faulthandler.enabled": "true",
             # the observed crash mode is a worker wedged for minutes then
@@ -375,20 +395,23 @@ def ensure_bench_raw(scale: str = BENCH_SCALE) -> tuple[str, int]:
     # silently reusing stale data
     sc = SCALES[scale]
     d = os.path.join("/tmp", f"rtps_bench_raw_{scale}_{sc.n_convs}x{sc.mean_turns}")
-    # purge RETIRED variants of this scale (e.g. the 48000x900 input the
-    # 44M-turn sizing replaced): round 4 ran phase B with both resident,
-    # and tens of stale GB on the bench volume is pure memory/disk
-    # pressure for zero value
-    import glob as _glob
-
-    for stale in _glob.glob(os.path.join("/tmp", f"rtps_bench_raw_{scale}_*")):
-        if os.path.abspath(stale) != os.path.abspath(d):
-            shutil.rmtree(stale, ignore_errors=True)
     meta = os.path.join(d, "_meta.json")
     if os.path.exists(meta):
         with open(meta) as fh:
             rows = json.load(fh)["rows"]
     else:
+        # purge RETIRED variants of this scale (e.g. the 48000x900 input
+        # the 44M-turn sizing replaced) ONLY when about to regenerate:
+        # round 4 ran phase B with both resident, and tens of stale GB on
+        # the bench volume is pure memory pressure — but an unconditional
+        # purge on every call could delete data out from under a
+        # concurrently running tool (e.g. tools/wide_knobs.py) that reads
+        # one of these paths mid-run
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join("/tmp", f"rtps_bench_raw_{scale}_*")):
+            if os.path.abspath(stale) != os.path.abspath(d):
+                shutil.rmtree(stale, ignore_errors=True)
         write_transcripts(d, scale, rows_per_file=500_000)
         import glob
 
@@ -422,9 +445,22 @@ def _sweep_orphans() -> list[int]:
                 continue
             with open(f"/proc/{pid}/cmdline", "rb") as fh:
                 cmd = fh.read().replace(b"\0", b" ").decode(errors="ignore")
-            if "pyspark-shell" in cmd or "pyspark.daemon" in cmd:
-                os.kill(int(pid), signal.SIGKILL)
-                killed.append(int(pid))
+            if "pyspark-shell" not in cmd and "pyspark.daemon" not in cmd:
+                continue
+            # only reap processes that belong to THIS repo's runs: a
+            # deliberately daemonized Spark session from some other
+            # project (ppid 1 by design) must not be collateral. Our
+            # workers always run with cwd inside the repo (subprocesses
+            # inherit the bench cwd) or reference it on the cmdline.
+            try:
+                cwd = os.readlink(f"/proc/{pid}/cwd")
+            except OSError:
+                cwd = ""
+            if not (cwd.startswith(REPO) or REPO in cmd
+                    or "rtps_bench" in cmd):
+                continue
+            os.kill(int(pid), signal.SIGKILL)
+            killed.append(int(pid))
         except (OSError, ValueError, IndexError):
             continue
     return killed
@@ -633,7 +669,55 @@ def main() -> int:
         _write_bench_md(result, cpus)
     except Exception:
         pass
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except Exception:
+        pass
+    # the LAST stdout line is a compact summary sized well under the
+    # driver's tail capture (round 5's full-detail final line overflowed
+    # it and the official artifact recorded parsed:null); full detail is
+    # the previous line + BENCH_FULL.json + BENCH.md
+    print(json.dumps(_compact_summary(result)), flush=True)
     return 0
+
+
+def _compact_summary(result: dict) -> dict:
+    out = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "sf": result.get("sf"),
+        "queries": {
+            k: round(v, 2) for k, v in (result.get("queries") or {}).items()
+        },
+    }
+    qb = result.get("queries_best_observed") or {}
+    if qb.get("total_sec") is not None:
+        out["queries_best_total_sec"] = qb["total_sec"]
+    pairs = {}
+    for tag, key in (("narrow", "pipeline"), ("mid", "pipeline_mid"),
+                     ("wide", "pipeline_wide")):
+        p = result.get(key)
+        if not isinstance(p, dict) or "scaling_efficiency" not in p:
+            pairs[tag] = {
+                k: str(p.get(k))[:60]
+                for k in ("error", "skipped")
+                if isinstance(p, dict) and k in p
+            } or None
+            continue
+        bo = p.get("best_observed") or {}
+        pairs[tag] = {
+            "cores": [p["cores_n"], p["cores_4n"]],
+            "t_n_sec": p["t_n_sec"],
+            "t_4n_sec": p["t_4n_sec"],
+            "turns_per_sec_4n": p["turns_per_sec_4n"],
+            "eff": p["scaling_efficiency"],
+            "best_eff": bo.get("scaling_efficiency"),
+            "n_runs": bo.get("n_runs"),
+        }
+    out["pairs"] = pairs
+    return out
 
 
 def _code_fingerprint(include_queries: bool = False) -> str:
@@ -856,9 +940,9 @@ def _write_bench_md(result: dict, cpus: int) -> None:
             "  input (~44M turns) — the measured sweet spot between",
             "  amortizing the fixed per-job driver cost (~3s warm; argues",
             "  bigger) and the host's shared DRAM-bandwidth ceiling that a",
-            "  ~58M variant pushed the 16-thread config into (argues",
-            "  smaller); residual host noise is carried to steady state by",
-            "  best_observed across BENCH_HISTORY",
+            "  retired round-4 ~58M-turn variant pushed the 16-thread",
+            "  config into (argues smaller); host noise is carried to",
+            "  steady state by best_observed across BENCH_HISTORY",
             "- single-box caveat: at this input size the 16-thread config",
             "  presses the host's shared DRAM bandwidth (an Amdahl fit on",
             "  the pair shows the non-scaling component growing with input",

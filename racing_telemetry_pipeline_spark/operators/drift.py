@@ -113,17 +113,23 @@ def compare_drift_methods(
     order_col: str = "turn_idx",
     ts_col: str = "ts",
     dt_col: str | None = None,
+    method: str = "irls",
 ) -> DataFrame:
     """Per-conversation drift estimate by three methods side-by-side:
     mean, median, and Huber M-estimate (reference:
     /root/reference/src/transform/drift.py:229-264 compare_drift_methods).
 
-    mean/median/std/count stay pure Catalyst; the iterative Huber runs in
-    the existing applyInPandas operator. Both branches aggregate on
+    mean/median/std/count stay pure Catalyst. The Huber column has two
+    engines: ``method="irls"`` runs the convergence-based IRLS in the
+    existing applyInPandas operator; ``method="fixed"`` runs the
+    fixed-iteration unrolled IRLS as pure Catalyst CTEs
+    (functions/robust.huber_fixed) — SQL-expressible, so the driver's
+    DuckDB hash gate covers it (the two agree to ~1e-6 on realistic
+    drift; asserted in tests/test_robust.py). Both branches aggregate on
     conv_col, so the join is co-partitioned — no extra full-width shuffle
-    beyond the two aggregations themselves.
+    beyond the aggregations themselves.
     """
-    from ..functions.robust import huber_by_group
+    from ..functions.robust import huber_by_group, huber_fixed
 
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     if dt_col is None:
@@ -138,9 +144,14 @@ def compare_drift_methods(
         F.stddev("_dt").alias("drift_std"),
         F.count("*").alias("n_samples"),
     )
-    huber = huber_by_group(drift, [conv_col], "_dt").withColumnRenamed(
-        "huber_mean", "drift_huber"
-    ).drop("n")
+    if method == "fixed":
+        huber = huber_fixed(drift, [conv_col], "_dt").withColumnRenamed(
+            "huber_mean", "drift_huber"
+        )
+    else:
+        huber = huber_by_group(drift, [conv_col], "_dt").withColumnRenamed(
+            "huber_mean", "drift_huber"
+        ).drop("n")
     return basic.join(huber, conv_col)
 
 

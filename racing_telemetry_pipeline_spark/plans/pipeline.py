@@ -273,16 +273,23 @@ def run_pipeline(
             )
             lake.write_small(counts, "agg_sink_counts", routed_snapshot)
 
+        # role_latency FIRST: it has the longest sequential chain of the
+        # post-routed jobs (exchange -> bucketed windows -> stitch join ->
+        # agg; ~4 AQE stage boundaries), so it defines the post-block
+        # critical path — submitting it before the single-agg tables lets
+        # their tasks fill the cores while its chain advances instead of
+        # its final stage running alone after everything else finished
+        # (event-log measured: a ~4s one-job tail at 4 cores, ~9.5s at 1)
         _concurrently(
+            lambda: lake.write(
+                role_latency_percentiles(routed, approx=approx_percentiles),
+                "agg_role_latency",
+                input_snapshot=routed_snapshot,
+            ),
             build_tpc,
             lambda: lake.write(
                 tool_call_frequency(routed, approx=approx_percentiles),
                 "agg_tool_frequency",
-                input_snapshot=routed_snapshot,
-            ),
-            lambda: lake.write(
-                role_latency_percentiles(routed, approx=approx_percentiles),
-                "agg_role_latency",
                 input_snapshot=routed_snapshot,
             ),
         )
@@ -301,10 +308,11 @@ def run_pipeline(
         agg_needed = not (resume and lake.stage_current("aggregates", routed_snapshot))
         lineage_needed = not (resume and lake.stage_current("lineage", routed_snapshot))
         fns = []
+        if agg_needed:
+            # aggs first (contains the critical-path role-latency chain)
+            fns.append(build_aggs)
         if drift_needed:
             fns.append(build_drift)
-        if agg_needed:
-            fns.append(build_aggs)
         if lineage_needed:
             fns.append(
                 lambda: _write_lineage(spark, lake, "routed", res.input_snapshot)
@@ -385,6 +393,22 @@ def _write_lineage(
         )
         .toPandas()
     )
+    # Committer-v2 duplication guard: v2 promotes files at TASK commit
+    # (non-atomic — a task attempt killed mid-commit leaves partial files
+    # that its retry's commit then duplicates). The manifest swap only
+    # gives JOB-level atomicity, so compare the logical row count captured
+    # by observe() during the write against the count read back from the
+    # written files — this lineage scan already counts every row, so the
+    # check is free. Failed-task metrics are excluded from observe()
+    # (countFailedValues=false), making it the exact logical count.
+    expected = lake.stage_metrics(stage_name).get("n_rows")
+    read_back = int(fine["n_rows"].sum())
+    if expected is not None and read_back != int(expected):
+        raise RuntimeError(
+            f"{stage_name}: read-back row count {read_back} != observed "
+            f"{expected} — likely orphan files from a task-commit retry "
+            "under committer v2; rewrite the stage"
+        )
     lineage = (
         fine.groupby("partition_id")
         .agg(

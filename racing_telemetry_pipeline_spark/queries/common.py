@@ -22,6 +22,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_fanout(spark: SparkSession, sf_dir: str, name: str,
+             max_bytes: int = 256 << 20) -> DataFrame:
+    """Read a table, fanning a TINY input out across the session's cores.
+
+    The bench/test parquet is one file with ONE row group — unsplittable,
+    so a scan->project plan runs as a single task no matter how many cores
+    the session has (measured: dd3's md5 chain spent ~0.8s on one of 32
+    cores at sf0.1). A round-robin repartition costs one exchange of the
+    tiny (< max_bytes on disk) input and unlocks every core for the
+    compute-heavy projection that follows. At real scale the input is
+    many splittable files, the size gate fails, and the scan keeps its
+    natural shuffle-free parallelism — this is strictly a small-input
+    mitigation, never part of the 100 TB plan shape. Only used by queries
+    whose FIRST heavy operator is a narrow projection/partial-agg
+    (dd3/dd5 hashing, sim1 scoring, q1's pre-shuffle partial agg);
+    window- and join-first queries gain nothing (their own exchange
+    already fans out) and would pay a second shuffle."""
+    import os
+
+    df = t(spark, sf_dir, name)
+    try:
+        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return df  # directory-backed or remote table: splittable, leave it
+    if size < max_bytes:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def dsum(col: str, alias: str, scale: int = 4):
     """Order-independent float sum: exact decimal accumulate, then double."""
     return F.round(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_fanout
 
 MERSENNE = 2147483647  # 2^31 - 1; keeps a*h+b within int64
 
@@ -228,31 +228,46 @@ def _shingle_hashes(spark, sf_dir):
 
 
 def dd3_minhash_signatures(spark, sf_dir):
-    """MinHash signatures with NO shuffle anywhere: min_i((a*h+b) % p) is
-    an array_min over the row-local hash array — the round-4 shape's
-    explode + groupBy(doc_id) exchange (a full pass over the word-level
-    table) is gone. At 100 TB the signature job is embarrassingly
-    parallel: scan -> project, no wide edge at all.
+    """MinHash signatures with NO wide shuffle anywhere: min_i((a*h+b) % p)
+    folds over the row-local hash array — the round-4 shape's explode +
+    groupBy(doc_id) exchange (a full pass over the word-level table) is
+    gone. At 100 TB the signature job is embarrassingly parallel:
+    scan -> project, no wide edge at all. (t_fanout's round-robin only
+    fires on tiny unsplittable bench files — see queries/common.py.)
 
-    explode(array(chain)) materializes the hash array as a real attribute
-    (exactly one output row per input row): the 8 per-permutation
-    array_min columns each reference the ATTRIBUTE, which CollapseProject
-    cannot inline — without the barrier the whole split->hash chain was
-    duplicated into all 8 columns (12 transform() nodes in the plan, 7x
-    slower)."""
-    docs = t(spark, sf_dir, "documents")
+    All 8 permutation minima are computed in ONE aggregate() pass with an
+    8-wide accumulator. HOF lambda bodies run interpreted (no codegen, no
+    CSE), so the cost driver is the NUMBER of lambda invocations: the
+    previous 8 array_min(transform(..)) columns invoked a lambda 16x per
+    element (8 transforms + 8 mins); the fold invokes one lambda per
+    element doing all 8 least/mul/mod steps inline (measured 0.80->0.74s
+    single-threaded at sf0.1; the remaining cost is the md5 chain itself,
+    shared with dd4/dd5 via the unified hash64).
+
+    explode(array(chain)) materializes the hash array / the signature
+    array as real attributes (exactly one output row per input row):
+    consumers reference the ATTRIBUTE, which CollapseProject cannot
+    inline — without the barrier the whole split->hash chain was
+    duplicated into every consumer column (12 transform() nodes in the
+    plan, 7x slower)."""
+    docs = t_fanout(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.explode(F.array(_hs_chain())).alias("hs")
     ).filter(F.size("hs") > 0)
-    cols = [
-        F.array_min(
-            F.transform(
-                "hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)
-            )
-        ).alias(f"mh{i}")
+    init = ", ".join([f"{MERSENNE}L"] * len(MINHASH_COEFFS))
+    steps = ", ".join(
+        f"least(acc[{i}], ({a}L * h + {b}L) % {MERSENNE}L)"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    return base.select("doc_id", *cols)
+    )
+    sig = base.select(
+        "doc_id",
+        F.explode(
+            F.array(F.expr(f"aggregate(hs, array({init}), (acc, h) -> array({steps}))"))
+        ).alias("mh"),
+    )
+    return sig.select(
+        "doc_id", *[F.col("mh")[i].alias(f"mh{i}") for i in range(len(MINHASH_COEFFS))]
+    )
 
 
 _SH_SQL = f"""
@@ -338,7 +353,7 @@ def _simhash_vals(spark, sf_dir):
     materialized ONCE per row behind the explode(array(..)) Generate
     barrier (see _SHINGLES_EXPR note): 64 consumers referencing a plain
     withColumn alias invite CollapseProject to inline the md5 chain 64x."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = t_fanout(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = docs.select(
         "doc_id",
         F.explode(

@@ -6,9 +6,12 @@ into a temp dir. pipe1-pipe3 carry full DuckDB oracles: the whole
 parse->sync->enrich->route plan is re-expressed as one SQL chain over
 ``read_parquet(raw_dir, filename, file_row_number)`` (the ingest ordinal
 DuckDB-side, mirroring Spark's ``_metadata`` ordinal), so the driver's
-hash gate covers the pipeline end-to-end. Only pipe4 stays rows-only —
-its Huber IRLS loop is genuinely not SQL-expressible; value-level
-coverage for it lives in tests/test_robust.py's pandas oracle.
+hash gate covers the pipeline end-to-end. pipe4 carries a full oracle
+too since round 6: its Huber estimator is the FIXED-ITERATION IRLS
+unroll (functions/robust.huber_fixed) — T reweight steps as plain CTEs,
+the same trick sim9 uses for Lloyd iterations — so "iterative" no longer
+means "not SQL-expressible". The convergence-based applyInPandas IRLS
+remains value-asserted in tests/test_robust.py.
 """
 
 from __future__ import annotations
@@ -112,16 +115,24 @@ def pipe3_tool_aggregates(spark, sf_dir):
 
 def pipe4_drift_methods(spark, sf_dir):
     """Per-conv drift estimated by mean vs median vs Huber side-by-side
-    (reference compare_drift_methods analog). The Huber IRLS loop is not
-    SQL-expressible, so this is a rows-only driver entry; value-level
-    correctness is asserted against an independent pandas oracle in
-    tests/test_robust.py. Rounding keeps the output hash-stable."""
+    (reference compare_drift_methods analog). The Huber column uses the
+    FIXED-ITERATION unrolled IRLS (functions/robust.huber_fixed,
+    method="fixed"): T=8 reweight steps as pure Catalyst CTEs, mirrored
+    step-for-step in the DuckDB oracle below — the same unrolling trick
+    sim9 uses for its two Lloyd iterations, which upgrades this entry
+    from rows-only to the full hash gate. The convergence-based
+    applyInPandas IRLS (huber_by_group) stays value-asserted against an
+    independent pandas oracle in tests/test_robust.py, which also pins
+    fixed-T to converged-IRLS agreement. Rounding keeps the output
+    hash-stable."""
     from pyspark.sql import functions as F
 
     from ..operators.drift import compare_drift_methods
 
     routed = _routed_cached(spark, "builtin")
-    out = compare_drift_methods(routed, ts_col="ts_sync", dt_col="dt_sec")
+    out = compare_drift_methods(
+        routed, ts_col="ts_sync", dt_col="dt_sec", method="fixed"
+    )
     return out.select(
         "conv_id",
         "n_samples",
@@ -259,8 +270,48 @@ SELECT tool_name, count(*) AS n_calls,
   CAST(sum(args_bytes) AS BIGINT) AS total_args_bytes
 FROM routedT WHERE route = 'tool_events'
 GROUP BY tool_name ORDER BY tool_name"""
+    # pipe4: the fixed-iteration Huber IRLS unrolled into CTEs — one CTE
+    # per reweight step, mirroring functions/robust.huber_fixed exactly
+    # (T=8, k=1.345, MAD*1.4826 scale, zero-scale pinned to the median).
+    # Same technique as sim9's unrolled Lloyd iterations; it is what makes
+    # the robust estimator hash-checkable instead of rows-only.
+    k, t_iters = 1.345, 8
+    its = []
+    prev_mu = "sc.mu0"
+    for i in range(1, t_iters + 1):
+        w = f"least(1.0, {k} * sc.scale / greatest(abs(d.x - {prev_mu}), 1e-300))"
+        prev_join = "" if i == 1 else f" JOIN it{i - 1} USING (conv_id)"
+        its.append(f"""it{i} AS (
+  SELECT conv_id,
+    CASE WHEN max(sc.scale) = 0 THEN max(sc.mu0)
+         ELSE sum({w} * d.x) / sum({w}) END AS mu
+  FROM d JOIN sc USING (conv_id){prev_join}
+  GROUP BY conv_id
+)""")
+        prev_mu = f"it{i}.mu"
+    it_sql = ",\n".join(its)
+    pipe4 = f"""WITH routedT AS ({routed}),
+d AS (SELECT conv_id, dt_sec AS x FROM routedT WHERE dt_sec IS NOT NULL),
+base AS (
+  SELECT conv_id, count(*) AS n_samples, avg(x) AS drift_mean,
+         quantile_cont(x, 0.5) AS drift_median, stddev_samp(x) AS drift_std
+  FROM d GROUP BY conv_id
+),
+sc AS (
+  SELECT d.conv_id,
+         quantile_cont(abs(d.x - b.drift_median), 0.5) * 1.4826 AS scale,
+         max(b.drift_median) AS mu0
+  FROM d JOIN base b USING (conv_id) GROUP BY d.conv_id
+),
+{it_sql}
+SELECT b.conv_id, b.n_samples,
+  round(b.drift_mean, 6) AS drift_mean,
+  round(b.drift_median, 6) AS drift_median,
+  round(b.drift_std, 6) AS drift_std,
+  round(it{t_iters}.mu, 6) AS drift_huber
+FROM base b JOIN it{t_iters} USING (conv_id)"""
     return {"pipe1_routed": pipe1, "pipe2_monotonic_invariant": pipe2,
-            "pipe3_tool_aggregates": pipe3}
+            "pipe3_tool_aggregates": pipe3, "pipe4_drift_methods": pipe4}
 
 
 _QUERIES: dict | None = None
@@ -274,7 +325,8 @@ def _build_queries() -> dict:
             pipe2_monotonic_invariant, oracles["pipe2_monotonic_invariant"]),
         "pipe3_tool_aggregates": (
             pipe3_tool_aggregates, oracles["pipe3_tool_aggregates"]),
-        "pipe4_drift_methods": (pipe4_drift_methods, None),
+        "pipe4_drift_methods": (
+            pipe4_drift_methods, oracles["pipe4_drift_methods"]),
     }
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from .common import t
+from .common import t, t_fanout
 
 N_QUERY = 20  # vec_ids < N_QUERY are the query set
 TOP_K = 3
@@ -66,8 +66,8 @@ def ann_widths(n_vectors: int, target_bucket: int = 1024, n_bands: int = 3) -> d
     }
 
 
-def _emb_double(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
+def _emb_double(spark, sf_dir, fanout: bool = False):
+    e = (t_fanout if fanout else t)(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "label",
@@ -84,7 +84,10 @@ def _dot(a, b):
 
 
 def sim1_cosine_topk(spark, sf_dir):
-    e = _emb_double(spark, sf_dir)
+    # fan the (tiny, unsplittable at bench scale) scan out so the O(n^2)
+    # scoring — all of which happens before any exchange — uses every
+    # core; see queries/common.py t_fanout (no-op at real scale)
+    e = _emb_double(spark, sf_dir, fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_fanout
 
 _DEC = "decimal(24,6)"
 
@@ -22,7 +22,10 @@ def _disc_price():
 
 # --- Q1: pricing summary (grouped multi-agg) --------------------------------
 def q1_pricing_summary(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    # q1 is a pure partial-agg scan: all its work happens BEFORE the first
+    # exchange, so a single-row-group bench file serializes it (common.py
+    # t_fanout note) — the fan-out parallelizes the decimal partial sums
+    li = t_fanout(spark, sf_dir, "lineitem")
     charge = (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     ).cast(_DEC)

@@ -78,8 +78,14 @@ def get_spark(
         # is minutes of single-threaded driver work; locally it is a fixed
         # per-job serial cost that caps scaling efficiency at small inputs.
         # Safe here: job-level atomicity comes from the lake's manifest
-        # swap (a stage whose write dies never updates the manifest), so
-        # v1's staging-dir atomicity is redundant.
+        # swap (a stage whose write dies never updates the manifest). v2's
+        # task commit is NOT atomic under task retries (max_failures>1): a
+        # task killed mid-commit leaves partial files its retry duplicates
+        # — covered by the runtime guard in plans/pipeline._write_lineage,
+        # which compares the observe() row count captured during the write
+        # against the count read back from the written files (free: the
+        # lineage scan counts every row anyway) and fails the run on
+        # mismatch instead of silently double-counting.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Dynamic-partition writes keep up to this many parquet writers
         # open per task instead of inserting a full in-task SORT by the

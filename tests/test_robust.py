@@ -94,3 +94,75 @@ def test_huber_downweights_outliers():
     contaminated = np.concatenate([base, [1e6]])
     assert abs(huber_mean_np(contaminated) - 10.0) < 0.2
     assert abs(np.mean(contaminated) - 10.0) > 1000
+
+
+def _fixed_oracle(values: np.ndarray, k: float = 1.345, iters: int = 8) -> float:
+    # independent re-implementation of the FIXED-T unroll (pipe4's form)
+    v = values[~np.isnan(values)]
+    mu = np.median(v)
+    scale = np.median(np.abs(v - mu)) * 1.4826
+    if scale == 0:
+        return float(mu)
+    for _ in range(iters):
+        w = np.clip((k * scale) / np.maximum(np.abs(v - mu), 1e-300), None, 1.0)
+        mu = np.sum(w * v) / np.sum(w)
+    return float(mu)
+
+
+def test_huber_fixed_matches_numpy_twin(spark):
+    """The Catalyst unrolled IRLS (pipe4's hash-gated form) reproduces an
+    independent numpy unroll to float precision, group by group."""
+    from racing_telemetry_pipeline_spark.functions.robust import huber_fixed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        huber_fixed(ev, ["event_type"], "value")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    pdf = ev.select("event_type", "value").toPandas()
+    checked = 0
+    for et, grp in pdf.groupby("event_type"):
+        want = _fixed_oracle(grp["value"].to_numpy())
+        assert got.loc[et, "huber_mean"] == pytest.approx(want, rel=1e-9)
+        checked += 1
+    assert checked >= 3
+
+
+def test_huber_fixed_close_to_converged_irls(spark):
+    """Eight unrolled steps sit within ~1e-7 relative of the converged
+    IRLS on realistic drift-like data (IRLS contracts ~10x per step) —
+    the documented accuracy contract for swapping pipe4 from
+    applyInPandas to the SQL-expressible form."""
+    from racing_telemetry_pipeline_spark.functions.robust import huber_fixed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fixed = (
+        huber_fixed(ev, ["event_type"], "value")
+        .toPandas()
+        .set_index("event_type")["huber_mean"]
+    )
+    pdf = ev.select("event_type", "value").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        converged = huber_mean_np(grp["value"].to_numpy())
+        spread = grp["value"].std() or 1.0
+        assert abs(fixed.loc[et] - converged) <= 1e-7 * spread + 1e-12
+
+
+def test_huber_fixed_zero_scale_group(spark):
+    """A constant-majority group (MAD == 0) pins to the median instead of
+    emitting the 0/0 NaN of an all-zero weight vector."""
+    from racing_telemetry_pipeline_spark.functions.robust import huber_fixed
+
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 9 + ["b"] * 4,
+         "x": [5.0] * 8 + [1e9] + [1.0, 2.0, 3.0, 4.0]}
+    )
+    got = (
+        huber_fixed(spark.createDataFrame(pdf), ["g"], "x")
+        .toPandas()
+        .set_index("g")["huber_mean"]
+    )
+    assert got.loc["a"] == 5.0
+    assert got.loc["b"] == pytest.approx(_fixed_oracle(np.array([1.0, 2.0, 3.0, 4.0])))

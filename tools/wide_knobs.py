@@ -24,8 +24,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-RAW = "/tmp/rtps_bench_raw_sf-scaling_36000x900"
-WARM = "/tmp/rtps_bench_warm_sf-unit"
+# default to the wide input; point SPARK_GRAFT_KNOB_RAW at the sf-bench
+# dir to run the same experiments on the narrow pair's input
+RAW = os.environ.get(
+    "SPARK_GRAFT_KNOB_RAW", "/tmp/rtps_bench_raw_sf-scaling_36000x900"
+)
+WARM = os.environ.get("SPARK_GRAFT_KNOB_WARM", "/tmp/rtps_bench_warm_sf-unit")
 
 VARIANTS: dict[str, dict[str, str]] = {
     "v0": {},
